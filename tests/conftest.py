@@ -1,0 +1,36 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding paths are
+validated on fake CPU devices per SURVEY.md §4 ("TPU-build test plan").
+Must run before any jax import.
+"""
+
+import os
+import pathlib
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import pytest  # noqa: E402
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+DATA_DIR = REPO_ROOT / "data"
+PROFILE_DIR = DATA_DIR / "profile_HMMs"
+FASTA_DIR = DATA_DIR / "FASTA_files"
+
+
+@pytest.fixture(scope="session")
+def profile_dir() -> pathlib.Path:
+    return PROFILE_DIR
+
+
+@pytest.fixture(scope="session")
+def fasta_dir() -> pathlib.Path:
+    return FASTA_DIR
+
+
+@pytest.fixture(scope="session")
+def all_profile_paths() -> list[pathlib.Path]:
+    return sorted(PROFILE_DIR.glob("*.hmm"), key=lambda p: int(p.stem))

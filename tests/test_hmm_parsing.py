@@ -1,0 +1,116 @@
+"""Golden-value tests for the .hmm parser.
+
+Asserted values mirror the reference parser's own golden tests against
+profile_HMMs/100.hmm (data_readers/test_hmm_parsing.cpp:19-37), including
+the '*'-parses-as-probability-1.0 quirk.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from hmm_fasta_viterbi_tpu import HMMParseError, parse_hmm, parse_hmm_text
+
+
+def neg_ln_to_prob(x: float) -> float:
+    return math.exp(-np.float32(x))
+
+
+@pytest.fixture(scope="module")
+def hmm100(profile_dir):
+    return parse_hmm(profile_dir / "100.hmm")
+
+
+def test_header(hmm100):
+    assert hmm100.model_length == 101
+    assert hmm100.leng == 100
+    assert hmm100.name == "Pfam-B_229"
+    assert hmm100.stats_local_msv_mu == pytest.approx(-9.5678)
+    assert hmm100.stats_local_msv_lambda == pytest.approx(0.71755)
+    assert hmm100.stats_local_viterbi_mu == pytest.approx(-10.3005)
+    assert hmm100.stats_local_viterbi_lambda == pytest.approx(0.71755)
+    assert hmm100.stats_local_forward_theta == pytest.approx(-3.4821)
+    assert hmm100.stats_local_forward_lambda == pytest.approx(0.71755)
+
+
+def test_probabilities(hmm100):
+    # node-0 (COMPO block) insert emissions and transitions
+    assert hmm100.insert_emissions[0][0] == pytest.approx(neg_ln_to_prob(2.68618), rel=1e-6)
+    # '*' field parses as strtof 0.0 -> prob 1.0 (reference quirk 1)
+    assert hmm100.transitions[0][6] == pytest.approx(1.0)
+    # match_emissions[0] is the zero-filled dummy M0
+    assert np.all(hmm100.match_emissions[0] == 0.0)
+    assert hmm100.match_emissions[1][0] == pytest.approx(neg_ln_to_prob(2.66211), rel=1e-6)
+    assert hmm100.match_emissions[100][19] == pytest.approx(neg_ln_to_prob(4.01014), rel=1e-6)
+    assert hmm100.insert_emissions[1][19] == pytest.approx(neg_ln_to_prob(3.61503), rel=1e-6)
+    assert hmm100.transitions[1][1] == pytest.approx(neg_ln_to_prob(4.09464), rel=1e-6)
+    assert hmm100.insert_emissions[100][19] == pytest.approx(neg_ln_to_prob(3.61503), rel=1e-6)
+    assert hmm100.transitions[100][5] == pytest.approx(1.0)  # 0.00000 -> 1.0
+    assert hmm100.transitions[100][6] == pytest.approx(1.0)  # '*' -> 1.0
+
+
+def test_shapes_and_dtype(hmm100):
+    m = hmm100.model_length
+    assert hmm100.match_emissions.shape == (m, 20)
+    assert hmm100.insert_emissions.shape == (m, 20)
+    assert hmm100.transitions.shape == (m, 7)
+    assert hmm100.match_emissions.dtype == np.float32
+
+
+def test_star_as_zero_prob_option(profile_dir):
+    hmm = parse_hmm(profile_dir / "100.hmm", star_as_zero_prob=True)
+    assert hmm.transitions[0][6] == 0.0  # '*' -> prob 0 in strict mode
+    assert hmm.transitions[100][5] == pytest.approx(1.0)  # real 0.00000 stays 1.0
+
+
+def test_all_profiles_parse(all_profile_paths):
+    assert len(all_profile_paths) == 24
+    for path in all_profile_paths:
+        hmm = parse_hmm(path)
+        assert hmm.model_length == int(path.stem) + 1
+        # emission probabilities in (0, 1]; match row 0 all zero
+        assert np.all(hmm.match_emissions[1:] > 0)
+        assert np.all(hmm.match_emissions <= 1.0 + 1e-6)
+
+
+MINI_HMM = """HMMER3/b [3.1dev | test]
+NAME  mini
+LENG  2
+ALPH  amino
+STATS LOCAL MSV       -5.0  0.7
+STATS LOCAL VITERBI   -6.0  0.7
+STATS LOCAL FORWARD   -2.0  0.7
+HMM          A        C        D        E        F        G        H        I        K        L        M        N        P        Q        R        S        T        V        W        Y
+            m->m     m->i     m->d     i->m     i->i     d->m     d->d
+  COMPO   2.0  2.0  2.0  2.0  2.0  2.0  2.0  2.0  2.0  2.0  2.0  2.0  2.0  2.0  2.0  2.0  2.0  2.0  2.0  2.0
+          3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0
+          0.1  0.2  0.3  0.4  0.5  0.0  *
+      1   1.0  1.1  1.2  1.3  1.4  1.5  1.6  1.7  1.8  1.9  2.0  2.1  2.2  2.3  2.4  2.5  2.6  2.7  2.8  2.9   1 - -
+          3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0
+          0.1  0.2  0.3  0.4  0.5  0.6  0.7
+      2   0.5  0.6  0.7  0.8  0.9  1.0  1.1  1.2  1.3  1.4  1.5  1.6  1.7  1.8  1.9  2.0  2.1  2.2  2.3  2.4   2 - -
+          3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0  3.0
+          0.1  0.2  *  0.4  0.5  0.0  *
+//
+"""
+
+
+def test_mini_hmm_text():
+    hmm = parse_hmm_text(MINI_HMM)
+    assert hmm.name == "mini"
+    assert hmm.model_length == 3
+    assert hmm.match_emissions[1][0] == pytest.approx(neg_ln_to_prob(1.0), rel=1e-6)
+    assert hmm.match_emissions[2][19] == pytest.approx(neg_ln_to_prob(2.4), rel=1e-6)
+    assert hmm.transitions[2][2] == pytest.approx(1.0)  # '*'
+
+
+def test_malformed_raises():
+    with pytest.raises(HMMParseError):
+        parse_hmm_text("garbage with no tags")
+    with pytest.raises(HMMParseError):
+        parse_hmm_text("NAME x\nLENG notanumber\n")
+    # truncated node list
+    truncated = MINI_HMM.split("      2 ")[0]
+    with pytest.raises(HMMParseError):
+        parse_hmm_text(truncated)
