@@ -1,0 +1,123 @@
+"""GCUPS benchmark harness.
+
+Unit of work (BASELINE.md): DP cells = seq_len * (model_length - 1) per
+sequence; GCUPS = cells / second / 1e9. Protocol follows the reference's
+best-of-N repetitions (algorithms/benchmark_helper.hpp:8-44) but times
+the on-device scan with proper warmup (the reference times JIT + context
+creation inside the measured region — SURVEY.md quirk 7 — which we
+deliberately do not reproduce; compile happens once, outside timing).
+
+Workloads mirror the reference:
+* ``headline``  — 1400.hmm vs random 3500-aa sequences
+  (algorithms/benchmark_MSV_1400.cpp), batch widened for TPU;
+* ``sweep``     — all 24 profiles vs the same corpus
+  (algorithms/benchmark_MSV.cpp).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Callable
+
+import numpy as np
+
+from ..models.msv import MSVProfile
+
+# BASELINE.md derived anchor: 1 GCUPS scans the reference 1400-profile
+# benchmark pass (3 x 3500 aa) in 14.7 ms. The reference publishes no
+# measured numbers, so this anchor is the vs_baseline denominator.
+BASELINE_GCUPS = 1.0
+
+
+@dataclasses.dataclass
+class BenchResult:
+    name: str
+    gcups: float
+    seconds: float
+    cells: int
+    batch: int
+    seq_len: int
+    model_length: int
+    repetitions: int
+
+    def to_json(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def random_tokens(batch: int, seq_len: int, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Uniform random amino-acid tokens (the reference generator's
+    distribution, FASTA_files/random_FASTA_generator.py)."""
+    rng = np.random.default_rng(seed)
+    tokens = rng.integers(0, 20, size=(batch, seq_len)).astype(np.int32)
+    lengths = np.full(batch, seq_len, dtype=np.int32)
+    return tokens, lengths
+
+
+def _sync(out) -> np.ndarray:
+    """Force device completion via a host transfer.
+
+    ``block_until_ready`` is not a reliable barrier on relayed/remote
+    PJRT backends (observed on the axon TPU tunnel: it returns before
+    async compilation/execution finishes); copying the (tiny) score
+    vector to host is.
+    """
+    return np.asarray(out)
+
+
+def time_scan(
+    scan_fn: Callable[[], "object"],
+    repetitions: int = 3,
+) -> float:
+    """Best-of-N wall time of a device scan (syncs on the result)."""
+    best = float("inf")
+    for _ in range(repetitions):
+        t0 = time.perf_counter()
+        _sync(scan_fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_profile(
+    name: str,
+    profile: MSVProfile,
+    scan: Callable[[MSVProfile, np.ndarray, np.ndarray], "object"],
+    tokens: np.ndarray,
+    lengths: np.ndarray,
+    repetitions: int = 3,
+) -> BenchResult:
+    batch, seq_len = tokens.shape
+
+    def run():
+        return scan(profile, tokens, lengths)
+
+    _sync(run())  # warmup / compile
+    seconds = time_scan(run, repetitions)
+    cells = int(lengths.astype(np.int64).sum()) * (profile.model_length - 1)
+    return BenchResult(
+        name=name,
+        gcups=cells / seconds / 1e9,
+        seconds=seconds,
+        cells=cells,
+        batch=batch,
+        seq_len=seq_len,
+        model_length=profile.model_length,
+        repetitions=repetitions,
+    )
+
+
+def emit_json_line(primary: BenchResult, extras: list[BenchResult]) -> str:
+    """The single JSON line the driver records (BENCH_r{N}.json)."""
+    payload = {
+        "metric": f"GCUPS_M{primary.model_length - 1}",
+        "value": round(primary.gcups, 3),
+        "unit": "GCUPS",
+        "vs_baseline": round(primary.gcups / BASELINE_GCUPS, 3),
+        "detail": {
+            "primary": primary.to_json(),
+            "extras": [e.to_json() for e in extras],
+            "baseline_anchor": "1 GCUPS == 14.7 ms per reference 1400-profile pass (BASELINE.md)",
+        },
+    }
+    return json.dumps(payload)

@@ -1,0 +1,167 @@
+"""Long-sequence block sharding: a wavefront pipeline over the ``sp`` axis.
+
+The MSV recurrence is strictly sequential along residues, but its
+cross-block state is tiny — the M row plus the (J, C, N, B) specials at
+the block boundary (SURVEY.md §5 "long-context"). So residue blocks of
+one sequence are pipelined across chips: device p scans residue block
+``[p*Lblk, (p+1)*Lblk)`` of sequence r during wavefront round ``t = p + r``
+and hands the boundary carry to device p+1 over ICI via ``ppermute``.
+
+With R sequences (rows) per shard-group and S sequence-shards, the
+pipeline takes S + R - 1 rounds of one block-scan each — efficiency
+R/(S+R-1), approaching 1 for deep batches, and enabling scans of
+sequences far longer than one chip could time-step economically.
+
+Composes with the ``db`` axis: tokens sharded P(db, sp) run an
+independent wavefront per database shard.
+
+Everything is SPMD inside one jitted ``shard_map`` — no host round-trips
+(contrast: the reference crosses the host<->device boundary ~L*(3+log2 M)
+times per sequence, SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.msv import MSVProfile, length_transitions
+from ..ops.recurrence import MSVCarry, MSVParams, block_scan, init_carry
+from .mesh import DB_AXIS, SP_AXIS
+
+NEG_INF = float(-np.inf)
+
+
+def _wavefront(scores_real, tr_B_Mk, tr_E_C, tr_E_J, tokens, lengths, tr_loop, tr_move, unroll):
+    """Per-device body under shard_map.
+
+    ``tokens`` is the local block [R, Lblk] (rows = local database shard,
+    columns = this device's residue block); lengths/tr_* are the local
+    [R] rows; scores are replicated.
+    """
+    sp_size = jax.lax.axis_size(SP_AXIS)
+    p = jax.lax.axis_index(SP_AXIS)
+    rows, block_len = tokens.shape
+    num_states = scores_real.shape[1]
+    start_index = p * block_len  # global index of this block's first residue
+
+    def row_params(r):
+        return MSVParams(
+            scores_real=scores_real,
+            tr_B_Mk=tr_B_Mk,
+            tr_E_C=tr_E_C,
+            tr_E_J=tr_E_J,
+            lengths=jax.lax.dynamic_slice(lengths, (r,), (1,)),
+            tr_loop=jax.lax.dynamic_slice(tr_loop, (r,), (1,)),
+            tr_move=jax.lax.dynamic_slice(tr_move, (r,), (1,)),
+        )
+
+    def round_body(t, state):
+        carry_in, out = state
+        r = t - p  # wavefront: device p scans row r at round p + r
+        valid = (r >= 0) & (r < rows)
+        rc = jnp.clip(r, 0, rows - 1)
+        params = row_params(rc)
+
+        # device 0 starts a fresh sequence each round; downstream devices
+        # resume from the boundary carry received from device p-1
+        fresh = init_carry(params, 1, num_states)
+        carry = jax.tree.map(
+            lambda f, c: jnp.where(p == 0, f, c), fresh, carry_in
+        )
+
+        toks = jax.lax.dynamic_slice(tokens, (rc, 0), (1, block_len))
+        new_carry = block_scan(params, carry, toks, start_index=start_index, unroll=unroll)
+        # masked rounds must not corrupt the in-flight carry
+        new_carry = jax.tree.map(
+            lambda n, o: jnp.where(valid, n, o), new_carry, carry_in
+        )
+
+        # last pipeline stage emits the final score for row r
+        score = new_carry.c[0] + params.tr_move[0]
+        emit = (p == sp_size - 1) & valid
+        out = out.at[rc].set(jnp.where(emit, score, out[rc]))
+
+        # boundary-carry exchange p -> p+1 over ICI
+        carry_out = jax.tree.map(
+            lambda x: jax.lax.ppermute(
+                x, SP_AXIS, [(i, (i + 1) % sp_size) for i in range(sp_size)]
+            ),
+            new_carry,
+        )
+        return carry_out, out
+
+    carry0 = MSVCarry(
+        m=jnp.zeros((1, num_states), dtype=jnp.float32),
+        j=jnp.zeros((1,), dtype=jnp.float32),
+        c=jnp.zeros((1,), dtype=jnp.float32),
+        n=jnp.zeros((1,), dtype=jnp.float32),
+        b=jnp.zeros((1,), dtype=jnp.float32),
+    )
+    out0 = jnp.zeros((rows,), dtype=jnp.float32)
+    num_rounds = sp_size + rows - 1
+    _, out = jax.lax.fori_loop(0, num_rounds, round_body, (carry0, out0))
+    # only the last stage wrote scores; replicate over sp
+    return jax.lax.psum(out, SP_AXIS)
+
+
+def make_seqblock_scanner(mesh: Mesh, unroll: int = 4):
+    """Build the jitted sharded scan fn for a (db, sp) mesh."""
+    fn = functools.partial(_wavefront, unroll=unroll)
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(
+            P(),  # scores_real (replicated)
+            P(), P(), P(),  # tr_B_Mk, tr_E_C, tr_E_J
+            P(DB_AXIS, SP_AXIS),  # tokens: rows over db, residue blocks over sp
+            P(DB_AXIS), P(DB_AXIS), P(DB_AXIS),  # lengths, tr_loop, tr_move
+        ),
+        out_specs=P(DB_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def msv_scan_seqblocks(
+    profile: MSVProfile,
+    tokens: np.ndarray,
+    lengths: np.ndarray,
+    mesh: Mesh,
+    unroll: int = 4,
+) -> np.ndarray:
+    """Scan with residue blocks sharded over ``sp`` (and rows over ``db``).
+
+    Tokens are padded so rows divide the db axis and columns divide the
+    sp axis; pad steps/rows are masked by the true lengths.
+    """
+    num_db = mesh.shape[DB_AXIS]
+    num_sp = mesh.shape[SP_AXIS]
+    tokens = np.asarray(tokens, dtype=np.int32)
+    lengths = np.asarray(lengths, dtype=np.int32)
+    b, seq_len = tokens.shape
+
+    pad_b = -(-b // num_db) * num_db
+    pad_l = -(-seq_len // num_sp) * num_sp
+    padded = np.zeros((pad_b, pad_l), dtype=np.int32)
+    padded[:b, :seq_len] = tokens
+    lengths_p = np.zeros(pad_b, dtype=np.int32)
+    lengths_p[:b] = lengths
+    tr_loop, tr_move = length_transitions(lengths_p)
+
+    scanner = make_seqblock_scanner(mesh, unroll=unroll)
+    out = scanner(
+        jnp.asarray(profile.scores_real),
+        jnp.float32(profile.tr_B_Mk),
+        jnp.float32(profile.tr_E_C),
+        jnp.float32(profile.tr_E_J),
+        jnp.asarray(padded),
+        jnp.asarray(lengths_p),
+        jnp.asarray(tr_loop),
+        jnp.asarray(tr_move),
+    )
+    return np.asarray(out)[:b]

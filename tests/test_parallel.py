@@ -1,0 +1,93 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+Validates the two net-new scaling axes (SURVEY.md §5/§7): database
+sharding over ``db`` and the long-sequence wavefront pipeline over ``sp``
+— both differentially against the single-device oracle.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from hmm_fasta_viterbi_tpu import MSVProfile, msv_oracle_batch, parse_hmm
+from hmm_fasta_viterbi_tpu.parallel.database import msv_scan_sharded, top_k_hits
+from hmm_fasta_viterbi_tpu.parallel.mesh import make_scan_mesh
+from hmm_fasta_viterbi_tpu.parallel.seqblocks import msv_scan_seqblocks
+
+TOL = 1e-4
+
+
+@pytest.fixture(scope="module")
+def profile(profile_dir):
+    return MSVProfile.from_profile(parse_hmm(profile_dir / "100.hmm"))
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(7)
+    lengths = np.array([64, 100, 1, 77, 128, 55, 9, 100, 31, 2], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(len(lengths), 128)).astype(np.int32)
+    return tokens, lengths
+
+
+def test_eight_devices_available():
+    assert jax.device_count() == 8
+
+
+def test_database_sharded_scan(profile, batch):
+    tokens, lengths = batch
+    mesh = make_scan_mesh(db=8, sp=1)
+    got = msv_scan_sharded(profile, tokens, lengths, mesh)
+    want = msv_oracle_batch(profile, tokens, lengths)
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
+
+
+def test_seqblock_wavefront(profile, batch):
+    """Residue blocks across 4 chips x db across 2: boundary-carry parity."""
+    tokens, lengths = batch
+    mesh = make_scan_mesh(db=2, sp=4)
+    got = msv_scan_seqblocks(profile, tokens, lengths, mesh)
+    want = msv_oracle_batch(profile, tokens, lengths)
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
+
+
+def test_seqblock_pure_sp(profile, batch):
+    """All 8 devices on the sequence axis (single very long stream case)."""
+    tokens, lengths = batch
+    mesh = make_scan_mesh(db=1, sp=8)
+    got = msv_scan_seqblocks(profile, tokens, lengths, mesh)
+    want = msv_oracle_batch(profile, tokens, lengths)
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
+
+
+def test_seqblock_long_sequence(profile):
+    """One 4096-residue sequence split across 8 chips."""
+    rng = np.random.default_rng(11)
+    tokens = rng.integers(0, 20, size=(1, 4096)).astype(np.int32)
+    lengths = np.array([4096], dtype=np.int32)
+    mesh = make_scan_mesh(db=1, sp=8)
+    got = msv_scan_seqblocks(profile, tokens, lengths, mesh)
+    want = msv_oracle_batch(profile, tokens, lengths)
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
+
+
+def test_seqblock_ragged_vs_block_boundaries(profile):
+    """Lengths that end exactly at / just past shard boundaries."""
+    mesh = make_scan_mesh(db=1, sp=4)
+    rng = np.random.default_rng(13)
+    L = 64  # per-shard block = 16
+    lengths = np.array([16, 17, 15, 32, 48, 64, 63, 1], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(len(lengths), L)).astype(np.int32)
+    got = msv_scan_seqblocks(profile, tokens, lengths, mesh)
+    want = msv_oracle_batch(profile, tokens, lengths)
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
+
+
+def test_top_k(profile, batch):
+    tokens, lengths = batch
+    mesh = make_scan_mesh(db=8, sp=1)
+    scores = msv_scan_sharded(profile, tokens, lengths, mesh)
+    vals, idx = top_k_hits(jax.numpy.asarray(scores), k=3)
+    order = np.argsort(scores)[::-1][:3]
+    np.testing.assert_array_equal(np.asarray(idx), order)
+    np.testing.assert_allclose(np.asarray(vals), scores[order], atol=0)
