@@ -79,6 +79,35 @@ def time_scan(
     return best
 
 
+def bench_staged(
+    name: str,
+    scanner,
+    profile: MSVProfile,
+    staged,
+    repetitions: int = 3,
+) -> BenchResult:
+    """Time device-resident scans (database staged once — the reference
+    sweep shape: one FASTA x many profiles, benchmark_MSV.cpp:32-41)."""
+
+    def run():
+        return scanner.scan(profile, staged)
+
+    _sync(run())  # warmup / compile
+    seconds = time_scan(run, repetitions)
+    lengths = np.asarray(staged.lengths)[: staged.num_sequences]
+    cells = int(lengths.astype(np.int64).sum()) * (profile.model_length - 1)
+    return BenchResult(
+        name=name,
+        gcups=cells / seconds / 1e9,
+        seconds=seconds,
+        cells=cells,
+        batch=staged.num_sequences,
+        seq_len=int(lengths.max()) if len(lengths) else 0,
+        model_length=profile.model_length,
+        repetitions=repetitions,
+    )
+
+
 def bench_profile(
     name: str,
     profile: MSVProfile,

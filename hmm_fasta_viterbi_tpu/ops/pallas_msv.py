@@ -1,0 +1,286 @@
+"""Pallas TPU kernel for the MSV max-plus DP scan.
+
+This single kernel replaces the reference's six OpenCL kernels and its
+host-driven launch loop (algorithms/MSV_kernels.cl, MSV_HMM.cpp:269-430):
+the whole residue recurrence runs on-chip, with the DP carry resident in
+VMEM — zero host<->device round-trips per residue versus the reference's
+~L*(3+log2 M) kernel launches (SURVEY.md §3.2).
+
+Layout (TPU-first, not a translation):
+* batch on LANES   — 128 sequences per tile, giving full VPU width on the
+  special-state updates and the B->Mk broadcast;
+* M states on SUBLANES — [M_pad, 128] f32 DP tile; the j-1 shift is a
+  sublane shift; the E reduction is a cross-sublane max;
+* the residue loop is a ``fori_loop`` over an L-chunk grid dimension with
+  the carry held in the output buffers (block index independent of the
+  chunk index, so Mosaic keeps it in VMEM across chunks).
+
+Emission selection — the reference's per-residue buffer rebind
+(MSV_HMM.cpp:383-387) — becomes a one-hot MXU matmul:
+``scoresT [M_pad, 20] @ onehot [20, 128]``. With f32 operands at
+``Precision.HIGHEST`` the TPU decomposes the score matrix into three
+bf16 terms whose sum reconstructs every f32 EXACTLY (24-bit mantissa
+split across 3x(8-bit+implicit) pieces; the residual after two splits
+has <= 6 significant bits), and the one-hot side is bf16-exact, so the
+selected emission is bit-exact — verified against the gather path in
+tests. The "generic vs specialized" axis of the reference
+(MSV_spec_kernels.cl) collapses into jit: shapes and the L-chunk layout
+are compile-time constants, while per-profile transition scalars stay
+runtime SMEM values so one compiled kernel serves every profile of a
+given padded shape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.msv import MSVProfile, length_transitions
+
+NEG_INF = float(-np.inf)
+# finite stand-in for -inf in rows that feed the MXU (padded score rows);
+# far below any reachable DP value (|scores| < 40, L <= ~1e6) yet safe
+# from f32 overflow when accumulated
+PAD_SCORE = -1.0e30
+
+LANES = 128  # batch tile (sequences per kernel program)
+DEFAULT_L_CHUNK = 512
+
+
+def _msv_kernel(
+    # scalar-prefetch: none; inputs in order:
+    scores_ref,  # [M_pad, 20] f32 VMEM (padded rows = PAD_SCORE)
+    tokens_ref,  # [L_CHUNK, LANES] int32 VMEM (residues for this chunk)
+    lengths_ref,  # [1, LANES] int32 VMEM
+    tr_row_ref,  # [2, LANES] f32 VMEM: row 0 = tr_loop, row 1 = tr_move
+    tr_const_ref,  # [3] f32 SMEM: tr_B_Mk, tr_E_C, tr_E_J
+    m_in_ref,  # [M_pad, LANES] f32 VMEM: initial M carry
+    s_in_ref,  # [4, LANES] f32 VMEM: initial J, C, N, B carry
+    # outputs:
+    score_ref,  # [1, LANES] f32: running C + tr_move
+    m_out_ref,  # [M_pad, LANES] f32: M carry (persists across chunks)
+    s_out_ref,  # [4, LANES] f32: specials carry
+):
+    l_idx = pl.program_id(1)
+    chunk_len, lanes = tokens_ref.shape
+    m_pad = scores_ref.shape[0]
+
+    tr_b_mk = tr_const_ref[0]
+    tr_e_c = tr_const_ref[1]
+    tr_e_j = tr_const_ref[2]
+    tr_loop = tr_row_ref[0:1, :]  # [1, LANES]
+    tr_move = tr_row_ref[1:2, :]
+    lengths = lengths_ref[0:1, :]
+
+    # first chunk loads the caller's carry; later chunks resume from the
+    # out buffers (same block across the l grid dim -> stays in VMEM)
+    @pl.when(l_idx == 0)
+    def _():
+        m_out_ref[:, :] = m_in_ref[:, :]
+        s_out_ref[:, :] = s_in_ref[:, :]
+
+    m0 = m_out_ref[:, :]
+    s0 = s_out_ref[:, :]
+    j0, c0, n0, b0 = s0[0:1, :], s0[1:2, :], s0[2:3, :], s0[3:4, :]
+
+    aa_iota = jax.lax.broadcasted_iota(jnp.int32, (20, lanes), 0)
+    row0_mask = jax.lax.broadcasted_iota(jnp.int32, (m_pad, lanes), 0) == 0
+    base = l_idx * chunk_len
+
+    def step(t, carry):
+        m, j_st, c_st, n_st, b_st = carry
+        tok = tokens_ref[pl.ds(t, 1), :]  # [1, LANES] int32
+        onehot = (aa_iota == tok).astype(jnp.float32)  # [20, LANES]
+        # exact selection on the MXU (see module docstring)
+        emit = jax.lax.dot_general(
+            scores_ref[:, :],
+            onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [M_pad, LANES]
+
+        # j-1 shift as a sublane rotate; the wrapped row 0 is replaced by
+        # the dummy-M0 -inf (dp[:, 0] never updates — MSV_HMM.cpp:86,100)
+        shifted = jnp.where(
+            row0_mask, jnp.float32(NEG_INF), pltpu.roll(m, shift=1, axis=0)
+        )
+        new_m = emit + jnp.maximum(shifted, b_st + tr_b_mk)
+        e_st = jnp.max(new_m, axis=0, keepdims=True)  # [1, LANES]
+        new_j = jnp.maximum(j_st + tr_loop, e_st + tr_e_j)
+        new_c = jnp.maximum(c_st + tr_loop, e_st + tr_e_c)
+        new_n = n_st + tr_loop
+        new_b = jnp.maximum(new_n + tr_move, new_j + tr_move)
+
+        valid = (base + t) < lengths  # [1, LANES] bool
+        return (
+            jnp.where(valid, new_m, m),
+            jnp.where(valid, new_j, j_st),
+            jnp.where(valid, new_c, c_st),
+            jnp.where(valid, new_n, n_st),
+            jnp.where(valid, new_b, b_st),
+        )
+
+    m, j_st, c_st, n_st, b_st = jax.lax.fori_loop(
+        0, chunk_len, step, (m0, j0, c0, n0, b0)
+    )
+
+    m_out_ref[:, :] = m
+    s_out_ref[:, :] = jnp.concatenate([j_st, c_st, n_st, b_st], axis=0)
+    score_ref[:, :] = c_st + tr_move  # final C->T move (MSV_HMM.cpp:112)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("l_chunk", "interpret")
+)
+def msv_pallas_call(
+    scores_t: jax.Array,  # [M_pad, 20] f32 (rows >= Mr set to PAD_SCORE)
+    tokens_t: jax.Array,  # [L_pad, B_pad] int32
+    lengths: jax.Array,  # [B_pad] int32
+    tr_rows: jax.Array,  # [2, B_pad] f32 (tr_loop; tr_move)
+    tr_consts: jax.Array,  # [3] f32 (tr_B_Mk, tr_E_C, tr_E_J)
+    m_init: jax.Array,  # [M_pad, B_pad] f32
+    s_init: jax.Array,  # [4, B_pad] f32 (J, C, N, B rows)
+    l_chunk: int = DEFAULT_L_CHUNK,
+    interpret: bool = False,
+):
+    """Raw kernel invocation over padded operands.
+
+    Returns (scores [B_pad], m_carry [M_pad, B_pad], s_carry [4, B_pad])
+    so callers can chain blocks (parallel.seqblocks boundary exchange).
+    """
+    m_pad, twenty = scores_t.shape
+    l_pad, b_pad = tokens_t.shape
+    assert twenty == 20 and b_pad % LANES == 0 and l_pad % l_chunk == 0
+    assert m_pad % 8 == 0
+    num_b = b_pad // LANES
+    num_l = l_pad // l_chunk
+
+    lengths2d = lengths.reshape(1, b_pad)
+
+    grid = (num_b, num_l)
+    score, m_out, s_out = pl.pallas_call(
+        _msv_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_chunk, LANES), lambda b, l: (l, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((m_pad, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((4, b_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(scores_t, tokens_t, lengths2d, tr_rows, tr_consts, m_init, s_init)
+    return score[0], m_out, s_out
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("l_chunk", "interpret"))
+def _msv_pallas_padded(
+    scores_t: jax.Array,  # [M_pad, 20] f32
+    tokens_i8_t: jax.Array,  # [L_pad, B_pad] int8 (small upload; widened here)
+    lengths: jax.Array,  # [B_pad] int32
+    tr_rows: jax.Array,  # [2, B_pad] f32
+    tr_consts: jax.Array,  # [3] f32
+    l_chunk: int,
+    interpret: bool,
+) -> jax.Array:
+    """Jitted wrapper building the DP init ON DEVICE (zero extra host
+    transfer — the host->device tunnel latency dominates small scans)."""
+    m_pad = scores_t.shape[0]
+    b_pad = tokens_i8_t.shape[1]
+    neg = jnp.float32(NEG_INF)
+    m_init = jnp.full((m_pad, b_pad), neg, dtype=jnp.float32)
+    s_init = jnp.stack(
+        [
+            jnp.full((b_pad,), neg, dtype=jnp.float32),  # J
+            jnp.full((b_pad,), neg, dtype=jnp.float32),  # C
+            jnp.zeros((b_pad,), dtype=jnp.float32),  # N
+            tr_rows[1],  # B = tr_move (dp[0][B], MSV_HMM.cpp:97)
+        ]
+    )
+    score, _, _ = msv_pallas_call(
+        scores_t,
+        tokens_i8_t.astype(jnp.int32),
+        lengths,
+        tr_rows,
+        tr_consts,
+        m_init,
+        s_init,
+        l_chunk=l_chunk,
+        interpret=interpret,
+    )
+    return score
+
+
+def prepare_scores_t(profile: MSVProfile) -> np.ndarray:
+    """[M_pad, 20] transposed real-state scores, padded rows = PAD_SCORE."""
+    mr = profile.num_states
+    m_pad = _round_up(mr, 8)
+    out = np.full((m_pad, 20), PAD_SCORE, dtype=np.float32)
+    out[:mr, :] = profile.scores_real.T
+    return out
+
+
+def msv_pallas(
+    profile: MSVProfile,
+    tokens: np.ndarray | jax.Array,
+    lengths: np.ndarray | jax.Array,
+    l_chunk: int = DEFAULT_L_CHUNK,
+    interpret: bool = False,
+) -> jax.Array:
+    """Score a padded batch with the Pallas kernel; returns f32 [B].
+
+    Same contract as ops.xla_scan.msv_xla (drop-in, differential-tested).
+    """
+    tokens = np.asarray(tokens)
+    lengths_np = np.asarray(lengths, dtype=np.int32)
+    b, seq_len = tokens.shape
+
+    b_pad = _round_up(max(b, 1), LANES)
+    l_chunk = min(l_chunk, _round_up(max(seq_len, 1), 32))
+    l_pad = _round_up(max(seq_len, 1), l_chunk)
+
+    # int8 transport: tokens are 0..19, so ship 1/4 the bytes through the
+    # (high-latency) host->device path and widen on device
+    tokens_t = np.zeros((l_pad, b_pad), dtype=np.int8)
+    tokens_t[:seq_len, :b] = tokens.T
+    lengths_p = np.zeros(b_pad, dtype=np.int32)
+    lengths_p[:b] = lengths_np
+    tr_loop, tr_move = length_transitions(lengths_p)
+    tr_rows = np.stack([tr_loop, tr_move]).astype(np.float32)
+
+    scores_t = prepare_scores_t(profile)
+    tr_consts = np.array(
+        [profile.tr_B_Mk, profile.tr_E_C, profile.tr_E_J], dtype=np.float32
+    )
+    score = _msv_pallas_padded(
+        jnp.asarray(scores_t),
+        jnp.asarray(tokens_t),
+        jnp.asarray(lengths_p),
+        jnp.asarray(tr_rows),
+        jnp.asarray(tr_consts),
+        l_chunk=l_chunk,
+        interpret=interpret,
+    )
+    return score[:b]

@@ -1,0 +1,160 @@
+"""End-to-end scan pipeline: the user-facing engine API.
+
+The reference never finished its CLI (main.cpp is a stub — SURVEY.md
+component #16); this module is the production entry: stage a sequence
+database on device once, then scan any number of profiles against it
+(the reference sweep workload, algorithms/benchmark_MSV.cpp, does exactly
+this shape of work: one FASTA x 24 profiles).
+
+Design for TPU economics:
+* tokens ship int8 and live on device across profile scans;
+* profile score matrices are tiny ([20, M] ~ 200 KB) and cached on
+  device keyed by profile identity;
+* M is padded to a bucket grid so the 24-profile sweep reuses a handful
+  of compiled kernels instead of one per distinct LENG;
+* sequence length pads to l_chunk * 2^k buckets for the same reason.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .io.fastaio import FastaDatabase
+from .models.msv import MSVProfile, length_transitions
+from .ops import pallas_msv
+from .ops.xla_scan import msv_scan_batch
+
+logger = logging.getLogger(__name__)
+
+Backend = Literal["auto", "pallas", "xla"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class StagedDatabase:
+    """Device-resident encoded sequence database."""
+
+    tokens_i8_t: jax.Array  # [L_pad, B_pad] int8 (pallas layout)
+    tokens: jax.Array  # [B_pad, L_pad] int32 (xla layout; lazy)
+    lengths: jax.Array  # [B_pad] int32
+    tr_rows: jax.Array  # [2, B_pad] f32
+    num_sequences: int  # true B before padding
+
+    @property
+    def total_residues(self) -> int:
+        return int(np.asarray(self.lengths).sum())
+
+
+class MSVScanner:
+    """Profile-HMM MSV scan engine.
+
+    >>> scanner = MSVScanner()
+    >>> staged = scanner.stage(tokens, lengths)
+    >>> scores = scanner.scan(profile, staged)
+    """
+
+    def __init__(
+        self,
+        backend: Backend = "auto",
+        l_chunk: int = pallas_msv.DEFAULT_L_CHUNK,
+        m_bucket: int = 256,
+        interpret: bool = False,
+    ):
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() != "cpu" or interpret else "xla"
+        self.backend = backend
+        self.l_chunk = l_chunk
+        self.m_bucket = m_bucket
+        self.interpret = interpret
+        self._profile_cache: dict[int, tuple[jax.Array, jax.Array, int]] = {}
+
+    # -- staging ---------------------------------------------------------
+    def stage(self, tokens: np.ndarray, lengths: np.ndarray) -> StagedDatabase:
+        """Pad + upload a token batch once; reusable across profiles."""
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths, dtype=np.int32)
+        b, seq_len = tokens.shape
+
+        b_pad = _round_up(max(b, 1), pallas_msv.LANES)
+        # one compile per (L bucket, B bucket) pair; a database is staged
+        # once, so l_chunk-granular buckets beat power-of-2 padding waste
+        l_pad = _round_up(max(seq_len, 1), self.l_chunk)
+
+        tok_t = np.zeros((l_pad, b_pad), dtype=np.int8)
+        tok_t[:seq_len, :b] = tokens.T
+        lengths_p = np.zeros(b_pad, dtype=np.int32)
+        lengths_p[:b] = lengths
+        tr_loop, tr_move = length_transitions(lengths_p)
+
+        tokens_i8_t = jnp.asarray(tok_t)
+        return StagedDatabase(
+            tokens_i8_t=tokens_i8_t,
+            tokens=tokens_i8_t.T.astype(jnp.int32),
+            lengths=jnp.asarray(lengths_p),
+            tr_rows=jnp.asarray(np.stack([tr_loop, tr_move]).astype(np.float32)),
+            num_sequences=b,
+        )
+
+    def stage_fasta(self, db: FastaDatabase) -> StagedDatabase:
+        tokens, lengths = db.encode()
+        return self.stage(tokens, lengths)
+
+    # -- profile upload (cached) ----------------------------------------
+    def _device_profile(self, profile: MSVProfile):
+        key = id(profile)
+        hit = self._profile_cache.get(key)
+        if hit is not None:
+            return hit
+        mr = profile.num_states
+        m_pad = _round_up(mr, self.m_bucket if self.backend == "pallas" else 8)
+        scores_t = np.full((m_pad, 20), pallas_msv.PAD_SCORE, dtype=np.float32)
+        scores_t[:mr, :] = profile.scores_real.T
+        tr_consts = np.array(
+            [profile.tr_B_Mk, profile.tr_E_C, profile.tr_E_J], dtype=np.float32
+        )
+        entry = (jnp.asarray(scores_t), jnp.asarray(tr_consts), mr)
+        self._profile_cache[key] = entry
+        return entry
+
+    # -- scan ------------------------------------------------------------
+    def scan(self, profile: MSVProfile, staged: StagedDatabase) -> jax.Array:
+        """Score every staged sequence against one profile -> f32 [B]."""
+        scores_t, tr_consts, _ = self._device_profile(profile)
+        if self.backend == "pallas":
+            out = pallas_msv._msv_pallas_padded(
+                scores_t,
+                staged.tokens_i8_t,
+                staged.lengths,
+                staged.tr_rows,
+                tr_consts,
+                l_chunk=self.l_chunk,
+                interpret=self.interpret,
+            )
+        else:
+            # xla path consumes the untransposed finite score matrix
+            out = msv_scan_batch(
+                scores_t.T[:, : profile.num_states],
+                tr_consts[0],
+                tr_consts[1],
+                tr_consts[2],
+                staged.tokens,
+                staged.lengths,
+                staged.tr_rows[0],
+                staged.tr_rows[1],
+            )
+        return out[: staged.num_sequences]
+
+    def scan_many(
+        self, profiles: list[MSVProfile], staged: StagedDatabase
+    ) -> dict[str, np.ndarray]:
+        """Sweep: scan the staged database against many profiles."""
+        return {p.name: np.asarray(self.scan(p, staged)) for p in profiles}
