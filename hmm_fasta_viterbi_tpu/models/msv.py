@@ -103,6 +103,9 @@ class MSVProfile:
     tr_B_Mk: np.float32
     tr_E_C: np.float32
     tr_E_J: np.float32
+    # Gumbel calibration carried through for P-/E-values (models.stats)
+    stats_local_msv_mu: float = 0.0
+    stats_local_msv_lambda: float = 0.0
 
     @classmethod
     def from_profile(cls, profile: ProfileHMM) -> "MSVProfile":
@@ -116,6 +119,8 @@ class MSVProfile:
             tr_B_Mk=tr.tr_B_Mk,
             tr_E_C=tr.tr_E_C,
             tr_E_J=tr.tr_E_J,
+            stats_local_msv_mu=profile.stats_local_msv_mu,
+            stats_local_msv_lambda=profile.stats_local_msv_lambda,
         )
 
     @property

@@ -1,0 +1,94 @@
+"""CLI + statistics tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from hmm_fasta_viterbi_tpu import parse_hmm
+from hmm_fasta_viterbi_tpu.cli import main
+from hmm_fasta_viterbi_tpu.models import stats
+
+
+def test_gumbel_pvalue_properties():
+    # monotone decreasing in score; calibrated point: P(mu) = 1 - exp(-1)
+    mu, lam = -9.5678, 0.71755
+    p_at_mu = stats.gumbel_pvalue(mu, mu, lam)
+    assert p_at_mu == pytest.approx(1 - np.exp(-1))
+    scores = np.array([-20.0, -10.0, 0.0, 10.0, 30.0])
+    p = stats.gumbel_pvalue(scores, mu, lam)
+    assert np.all(np.diff(p) < 0)
+    assert np.all((p > 0) & (p <= 1))
+    # extreme scores underflow gracefully, not to nan
+    assert stats.gumbel_pvalue(1000.0, mu, lam) >= 0.0
+
+
+def test_msv_pvalue_uses_profile_stats(profile_dir):
+    hmm = parse_hmm(profile_dir / "100.hmm")
+    p = stats.msv_pvalue(np.array([0.0]), hmm)
+    want = stats.gumbel_pvalue(stats.nats_to_bits(0.0), -9.5678, 0.71755)
+    assert p[0] == pytest.approx(want, rel=1e-6)
+
+
+def test_exp_tail_pvalue():
+    tau, lam = -3.4821, 0.71755
+    assert stats.exp_tail_pvalue(tau, tau, lam) == pytest.approx(1.0)
+    assert stats.exp_tail_pvalue(tau - 5, tau, lam) == 1.0  # clamped
+    assert stats.exp_tail_pvalue(tau + 10, tau, lam) < 1e-3
+
+
+def test_cli_scan_tsv(profile_dir, fasta_dir, capsys):
+    rc = main(
+        [
+            "scan",
+            "--hmm",
+            str(profile_dir / "100.hmm"),
+            "--fasta",
+            str(fasta_dir / "fasta_like_example.fsa"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if not l.startswith("#")]
+    assert len(lines) == 4
+    cols = lines[0].split("\t")
+    assert cols[1] == "Pfam-B_229"
+    float(cols[2]), float(cols[3])  # parse scores
+
+
+def test_cli_scan_json_topk(profile_dir, fasta_dir, capsys):
+    rc = main(
+        [
+            "scan",
+            "--hmm",
+            str(profile_dir / "100.hmm"),
+            "--fasta",
+            str(fasta_dir / "fasta_like_example.fsa"),
+            "--format",
+            "json",
+            "--top",
+            "2",
+        ]
+    )
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 2
+    assert rows[0]["score_nats"] >= rows[1]["score_nats"]
+
+
+def test_cli_generate_and_scan_roundtrip(tmp_path, profile_dir, capsys):
+    fasta = tmp_path / "gen.fsa"
+    rc = main(["generate", "--out", str(fasta), "--count", "2", "--length", "100", "--seed", "7"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["scan", "--hmm", str(profile_dir / "100.hmm"), "--fasta", str(fasta)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert len([l for l in out.splitlines() if not l.startswith("#")]) == 2
+
+
+def test_cli_empty_db_errors(tmp_path, profile_dir):
+    fasta = tmp_path / "bad.fsa"
+    fasta.write_text(">only\nXXXX\n")  # rejected -> empty db
+    rc = main(["scan", "--hmm", str(profile_dir / "100.hmm"), "--fasta", str(fasta)])
+    assert rc == 1
