@@ -17,8 +17,7 @@ import time
 
 import numpy as np
 
-from .io.fastaio import parse_fasta
-from .io.hmmio import parse_hmm
+from .io.loader import load_fasta, load_profile
 from .models import stats
 from .models.msv import MSVProfile
 from .pipeline import MSVScanner
@@ -32,6 +31,12 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--format", default="tsv", choices=["tsv", "json"])
     ap.add_argument("--top", type=int, default=0, help="report only the top K hits (0 = all)")
     ap.add_argument("--max-evalue", type=float, default=None, help="E-value cutoff")
+    ap.add_argument(
+        "--loader",
+        default="auto",
+        choices=["auto", "native", "python"],
+        help="data loader: native C++ fast path or pure-Python parsers",
+    )
 
 
 def _report(profile, db, scores: np.ndarray, args, out=None) -> None:
@@ -69,8 +74,8 @@ def _report(profile, db, scores: np.ndarray, args, out=None) -> None:
 
 
 def cmd_scan(args) -> int:
-    profile = MSVProfile.from_profile(parse_hmm(args.hmm))
-    db = parse_fasta(args.fasta)
+    profile = MSVProfile.from_profile(load_profile(args.hmm, prefer=args.loader))
+    db = load_fasta(args.fasta, prefer=args.loader)
     if not len(db):
         logger.warning("no valid sequences in %s", args.fasta)
         return 1
@@ -90,11 +95,11 @@ def cmd_sweep(args) -> int:
     if not paths:
         logger.error("no .hmm files in %s", args.hmm_dir)
         return 1
-    db = parse_fasta(args.fasta)
+    db = load_fasta(args.fasta, prefer=args.loader)
     scanner = MSVScanner(backend=args.backend)
     staged = scanner.stage_fasta(db)
     for path in paths:
-        profile = MSVProfile.from_profile(parse_hmm(path))
+        profile = MSVProfile.from_profile(load_profile(path, prefer=args.loader))
         scores = np.asarray(scanner.scan(profile, staged))
         _report(profile, db, scores, args)
     return 0

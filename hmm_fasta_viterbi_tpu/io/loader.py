@@ -1,0 +1,60 @@
+"""Unified data loading: native fast path with pure-Python fallback.
+
+``prefer`` policy: "auto" uses the C++ loader when the shared library is
+available (building it once if a toolchain exists), "python" forces the
+reference parsers, "native" requires the fast path.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Literal
+
+import numpy as np
+
+from . import native
+from .fastaio import FastaDatabase, parse_fasta
+from .hmmio import ProfileHMM, parse_hmm
+
+logger = logging.getLogger(__name__)
+
+Prefer = Literal["auto", "native", "python"]
+
+
+def load_profile(path, prefer: Prefer = "auto") -> ProfileHMM:
+    if prefer != "python":
+        try:
+            return native.parse_hmm_native(path)
+        except native.NativeUnavailable:
+            if prefer == "native":
+                raise
+            logger.debug("native loader unavailable; using python parser")
+    return parse_hmm(path)
+
+
+def load_fasta(path, prefer: Prefer = "auto") -> FastaDatabase:
+    if prefer != "python":
+        try:
+            return native.parse_fasta_native(path)
+        except native.NativeUnavailable:
+            if prefer == "native":
+                raise
+            logger.debug("native loader unavailable; using python parser")
+    return parse_fasta(path)
+
+
+def load_fasta_arrays(
+    path, prefer: Prefer = "auto"
+) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """(tokens [B, Lmax] int, lengths [B], headers) — the scan-ready form."""
+    if prefer != "python":
+        try:
+            tokens, lengths, headers, _ = native.parse_fasta_arrays_native(path)
+            return tokens, lengths, headers
+        except native.NativeUnavailable:
+            if prefer == "native":
+                raise
+            logger.debug("native loader unavailable; using python parser")
+    db = parse_fasta(path)
+    tokens, lengths = db.encode()
+    return tokens, lengths, [r.header for r in db.records]

@@ -1,0 +1,191 @@
+"""ctypes bindings for the native C++ fast data-loader (native/fastparse.cpp).
+
+The reference's data_readers layer is C++ (SURVEY.md §2 #1/#2); this is
+its TPU-framework equivalent: a zero-copy-ish loader producing the dense
+arrays the device paths consume, with the pure-Python parsers
+(io.hmmio / io.fastaio) as the always-available semantic reference.
+
+Loading policy: try the prebuilt shared library; if missing, attempt one
+(quiet) compile with g++; on any failure every entry point raises
+``NativeUnavailable`` and callers fall back to Python parsing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import pathlib
+import subprocess
+
+import numpy as np
+
+from .fastaio import FastaDatabase, FastaRecord
+from .hmmio import NUM_TRANSITIONS, ProfileHMM
+from .alphabet import NUM_AMINO_ACIDS
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "build" / "libfastparse.so"
+_ABI_VERSION = 1
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+class _FpHmm(ctypes.Structure):
+    _fields_ = [
+        ("model_length", ctypes.c_int32),
+        ("name", ctypes.c_char * 256),
+        ("msv_mu", ctypes.c_double),
+        ("msv_lambda", ctypes.c_double),
+        ("vit_mu", ctypes.c_double),
+        ("vit_lambda", ctypes.c_double),
+        ("fwd_tau", ctypes.c_double),
+        ("fwd_lambda", ctypes.c_double),
+        ("match_emissions", ctypes.POINTER(ctypes.c_float)),
+        ("insert_emissions", ctypes.POINTER(ctypes.c_float)),
+        ("transitions", ctypes.POINTER(ctypes.c_float)),
+    ]
+
+
+class _FpFasta(ctypes.Structure):
+    _fields_ = [
+        ("num_records", ctypes.c_int64),
+        ("num_rejected", ctypes.c_int64),
+        ("total_tokens", ctypes.c_int64),
+        ("tokens", ctypes.POINTER(ctypes.c_int8)),
+        ("offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("headers", ctypes.POINTER(ctypes.c_char)),
+        ("headers_bytes", ctypes.c_int64),
+    ]
+
+
+_lib = None
+_load_error: str | None = None
+
+
+def _build() -> bool:
+    try:
+        proc = subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            capture_output=True,
+            timeout=120,
+            text=True,
+        )
+        if proc.returncode != 0:
+            logger.debug("native build failed: %s", proc.stderr[-500:])
+            return False
+        return _LIB_PATH.exists()
+    except Exception as e:  # pragma: no cover
+        logger.debug("native build error: %s", e)
+        return False
+
+
+def _load():
+    global _lib, _load_error
+    if _lib is not None:
+        return _lib
+    if _load_error is not None:
+        raise NativeUnavailable(_load_error)
+    if not _LIB_PATH.exists() and not _build():
+        _load_error = "libfastparse.so not found and build failed"
+        raise NativeUnavailable(_load_error)
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.fp_abi_version.restype = ctypes.c_int32
+        if lib.fp_abi_version() != _ABI_VERSION:
+            _load_error = "fastparse ABI mismatch"
+            raise NativeUnavailable(_load_error)
+        lib.fp_parse_hmm.argtypes = [ctypes.c_char_p, ctypes.POINTER(_FpHmm)]
+        lib.fp_parse_hmm.restype = ctypes.c_int32
+        lib.fp_free_hmm.argtypes = [ctypes.POINTER(_FpHmm)]
+        lib.fp_parse_fasta.argtypes = [ctypes.c_char_p, ctypes.POINTER(_FpFasta)]
+        lib.fp_parse_fasta.restype = ctypes.c_int32
+        lib.fp_free_fasta.argtypes = [ctypes.POINTER(_FpFasta)]
+    except OSError as e:  # pragma: no cover
+        _load_error = f"failed to load {_LIB_PATH}: {e}"
+        raise NativeUnavailable(_load_error) from e
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def parse_hmm_native(path) -> ProfileHMM:
+    """Native .hmm parse -> the same ProfileHMM the Python parser builds."""
+    lib = _load()
+    out = _FpHmm()
+    rc = lib.fp_parse_hmm(str(path).encode(), ctypes.byref(out))
+    if rc != 0:
+        raise ValueError(f"fastparse: failed to parse {path} (code {rc})")
+    try:
+        m = out.model_length
+        match = np.ctypeslib.as_array(out.match_emissions, (m, NUM_AMINO_ACIDS)).copy()
+        insert = np.ctypeslib.as_array(out.insert_emissions, (m, NUM_AMINO_ACIDS)).copy()
+        trans = np.ctypeslib.as_array(out.transitions, (m, NUM_TRANSITIONS)).copy()
+        return ProfileHMM(
+            name=out.name.decode(),
+            model_length=m,
+            match_emissions=match,
+            insert_emissions=insert,
+            transitions=trans,
+            stats_local_msv_mu=out.msv_mu,
+            stats_local_msv_lambda=out.msv_lambda,
+            stats_local_viterbi_mu=out.vit_mu,
+            stats_local_viterbi_lambda=out.vit_lambda,
+            stats_local_forward_theta=out.fwd_tau,
+            stats_local_forward_lambda=out.fwd_lambda,
+        )
+    finally:
+        lib.fp_free_hmm(ctypes.byref(out))
+
+
+def parse_fasta_arrays_native(path) -> tuple[np.ndarray, np.ndarray, list[str], int]:
+    """Native FASTA parse -> (tokens int8 [B, Lmax], lengths, headers,
+    num_rejected). Tokens are already alphabet-encoded and padded."""
+    lib = _load()
+    out = _FpFasta()
+    rc = lib.fp_parse_fasta(str(path).encode(), ctypes.byref(out))
+    if rc != 0:
+        raise ValueError(f"fastparse: failed to parse {path} (code {rc})")
+    try:
+        b = int(out.num_records)
+        offsets = np.ctypeslib.as_array(out.offsets, (b + 1,)).copy()
+        flat = (
+            np.ctypeslib.as_array(out.tokens, (int(out.total_tokens),)).copy()
+            if out.total_tokens
+            else np.zeros(0, dtype=np.int8)
+        )
+        raw_headers = ctypes.string_at(out.headers, out.headers_bytes) if out.headers_bytes else b""
+        headers = raw_headers.decode().split("\0")[:b]
+        lengths = np.diff(offsets).astype(np.int32)
+        max_len = int(lengths.max()) if b else 0
+        tokens = np.zeros((b, max(max_len, 1)), dtype=np.int8)
+        for i in range(b):
+            tokens[i, : lengths[i]] = flat[offsets[i] : offsets[i + 1]]
+        return tokens, lengths, headers, int(out.num_rejected)
+    finally:
+        lib.fp_free_fasta(ctypes.byref(out))
+
+
+def parse_fasta_native(path) -> FastaDatabase:
+    """Native FASTA parse materialized as a FastaDatabase (string view).
+
+    For the array fast path use :func:`parse_fasta_arrays_native`.
+    """
+    from .alphabet import decode_sequence
+
+    tokens, lengths, headers, _ = parse_fasta_arrays_native(path)
+    records = [
+        FastaRecord(header=h, sequence=decode_sequence(tokens[i, : lengths[i]]))
+        for i, h in enumerate(headers)
+    ]
+    return FastaDatabase(records=records, rejected=[])

@@ -1,0 +1,86 @@
+"""Differential tests: native C++ loader vs the Python reference parsers.
+
+Runs only when the shared library builds (g++ in the image); the Python
+parsers remain the semantic oracle.
+"""
+
+import numpy as np
+import pytest
+
+from hmm_fasta_viterbi_tpu import parse_fasta, parse_hmm
+from hmm_fasta_viterbi_tpu.io import loader, native
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="native fastparse not available"
+)
+
+
+def test_hmm_parity_all_profiles(all_profile_paths):
+    for path in all_profile_paths:
+        a = native.parse_hmm_native(path)
+        b = parse_hmm(path)
+        assert a.name == b.name
+        assert a.model_length == b.model_length
+        assert a.stats_local_msv_mu == pytest.approx(b.stats_local_msv_mu)
+        assert a.stats_local_forward_lambda == pytest.approx(b.stats_local_forward_lambda)
+        # expf vs np.exp may differ by 1 ulp; structure must be identical
+        np.testing.assert_allclose(a.match_emissions, b.match_emissions, rtol=3e-7)
+        np.testing.assert_allclose(a.insert_emissions, b.insert_emissions, rtol=3e-7)
+        np.testing.assert_allclose(a.transitions, b.transitions, rtol=3e-7)
+        assert np.all(a.match_emissions[0] == 0.0)
+
+
+def test_fasta_parity(fasta_dir):
+    for name in ("fasta_like_example.fsa", "random_FASTA.fsa"):
+        tokens, lengths, headers, rejected = native.parse_fasta_arrays_native(
+            fasta_dir / name
+        )
+        db = parse_fasta(fasta_dir / name)
+        want_tokens, want_lengths = db.encode()
+        assert lengths.tolist() == want_lengths.tolist()
+        np.testing.assert_array_equal(
+            tokens[:, : want_tokens.shape[1]].astype(np.int32), want_tokens
+        )
+        assert headers == [r.header for r in db.records]
+        assert rejected == 0
+
+
+def test_fasta_rejection(tmp_path):
+    f = tmp_path / "mixed.fsa"
+    f.write_text(">ok\nACDEF\n>bad\nACDZF\n>ok2\nGHIKL\n")
+    tokens, lengths, headers, rejected = native.parse_fasta_arrays_native(f)
+    assert rejected == 1
+    assert headers == ["ok", "ok2"]
+    assert lengths.tolist() == [5, 5]
+
+
+def test_fasta_edge_cases(tmp_path):
+    f = tmp_path / "edge.fsa"
+    f.write_text(">empty\n>multi\nACD\n\nEF\n")
+    tokens, lengths, headers, rejected = native.parse_fasta_arrays_native(f)
+    assert lengths.tolist() == [0, 5]
+    assert headers == ["empty", "multi"]
+
+    bad = tmp_path / "bad.fsa"
+    bad.write_text("ACDEF\n>late\nGHI\n")
+    with pytest.raises(ValueError):
+        native.parse_fasta_arrays_native(bad)
+
+
+def test_hmm_error_path(tmp_path):
+    f = tmp_path / "broken.hmm"
+    f.write_text("NAME x\nLENG 3\n")  # missing STATS/COMPO
+    with pytest.raises(ValueError):
+        native.parse_hmm_native(f)
+    with pytest.raises(ValueError):
+        native.parse_hmm_native(tmp_path / "missing.hmm")
+
+
+def test_loader_prefer_modes(profile_dir, fasta_dir):
+    a = loader.load_profile(profile_dir / "100.hmm", prefer="native")
+    b = loader.load_profile(profile_dir / "100.hmm", prefer="python")
+    np.testing.assert_allclose(a.match_emissions, b.match_emissions, rtol=3e-7)
+    tokens, lengths, headers = loader.load_fasta_arrays(
+        fasta_dir / "fasta_like_example.fsa", prefer="native"
+    )
+    assert len(headers) == 4 and lengths.tolist() == [18, 18, 15, 130]
