@@ -39,10 +39,17 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
     )
 
 
-def _report(profile, db, scores: np.ndarray, args, out=None) -> None:
+_PVALUE_FNS = {
+    "msv": stats.msv_pvalue,
+    "viterbi": stats.viterbi_pvalue,
+    "forward": stats.forward_pvalue,
+}
+
+
+def _report(profile, db, scores: np.ndarray, args, out=None, stage="msv") -> None:
     out = out if out is not None else sys.stdout
     bits = stats.nats_to_bits(scores)
-    pvals = stats.msv_pvalue(scores, profile)
+    pvals = _PVALUE_FNS[stage](scores, profile)
     evals = stats.evalue(pvals, len(db))
     order = np.argsort(-scores)
     if args.top:
@@ -74,20 +81,80 @@ def _report(profile, db, scores: np.ndarray, args, out=None) -> None:
 
 
 def cmd_scan(args) -> int:
-    profile = MSVProfile.from_profile(load_profile(args.hmm, prefer=args.loader))
+    hmm = load_profile(args.hmm, prefer=args.loader)
     db = load_fasta(args.fasta, prefer=args.loader)
     if not len(db):
         logger.warning("no valid sequences in %s", args.fasta)
         return 1
+    tokens, lengths = db.encode()
     scanner = MSVScanner(backend=args.backend)
     t0 = time.perf_counter()
-    staged = scanner.stage_fasta(db)
-    scores = np.asarray(scanner.scan(profile, staged))
+
+    if args.stage == "msv":
+        staged = scanner.stage(tokens, lengths)
+        scores = np.asarray(scanner.scan(MSVProfile.from_profile(hmm), staged))
+    elif args.stage in ("viterbi", "forward"):
+        from .models.p7 import P7Profile
+        from .ops.p7_scan import forward_xla, viterbi_xla
+
+        p7 = P7Profile.from_profile(hmm)
+        fn = viterbi_xla if args.stage == "viterbi" else forward_xla
+        scores = np.asarray(fn(p7, tokens, lengths))
+    else:  # search: full MSV -> Viterbi -> Forward cascade
+        from .pipeline import SearchPipeline
+
+        staged = scanner.stage(tokens, lengths)
+        result = SearchPipeline(scanner).search(hmm, staged, tokens, lengths)
+        dt = time.perf_counter() - t0
+        logger.info(
+            "search %s: %d seqs -> %d past MSV -> %d past Viterbi -> %d hits (%.3fs)",
+            hmm.name,
+            len(db),
+            int(result.passed_msv.sum()),
+            int(result.passed_viterbi.sum()),
+            int(result.passed_forward.sum()),
+            dt,
+        )
+        _report_search(hmm, db, result, args)
+        return 0
+
     dt = time.perf_counter() - t0
-    cells = staged.total_residues * (profile.model_length - 1)
-    logger.info("scanned %d seqs x %s in %.3fs (%.2f GCUPS)", len(db), profile.name, dt, cells / dt / 1e9)
-    _report(profile, db, scores, args)
+    cells = int(lengths.astype(np.int64).sum()) * (hmm.model_length - 1)
+    logger.info(
+        "scanned %d seqs x %s (%s) in %.3fs (%.2f GCUPS)",
+        len(db), hmm.name, args.stage, dt, cells / dt / 1e9,
+    )
+    _report(hmm, db, scores, args, stage=args.stage)
     return 0
+
+
+def _report_search(hmm, db, result, args, out=None) -> None:
+    out = out if out is not None else sys.stdout
+    order = np.flatnonzero(result.passed_msv)
+    order = order[np.argsort(-np.nan_to_num(result.forward_scores[order], nan=-np.inf))]
+    rows = []
+    for i in order:
+        rows.append(
+            {
+                "target": db.records[i].header or f"seq{i}",
+                "profile": hmm.name,
+                "msv_bits": round(float(stats.nats_to_bits(result.msv_scores[i])), 4),
+                "msv_p": float(result.msv_pvalues[i]),
+                "viterbi_p": float(result.viterbi_pvalues[i]),
+                "forward_p": float(result.forward_pvalues[i]),
+                "hit": bool(result.passed_forward[i]),
+            }
+        )
+    if args.format == "json":
+        json.dump(rows, out, indent=1)
+        out.write("\n")
+    else:
+        out.write("# target\tprofile\tmsv_bits\tmsv_p\tviterbi_p\tforward_p\thit\n")
+        for r in rows:
+            out.write(
+                f"{r['target']}\t{r['profile']}\t{r['msv_bits']}\t{r['msv_p']:.3e}\t"
+                f"{r['viterbi_p']:.3e}\t{r['forward_p']:.3e}\t{int(r['hit'])}\n"
+            )
 
 
 def cmd_sweep(args) -> int:
@@ -124,6 +191,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     scan = sub.add_parser("scan", help="scan a FASTA database against one profile")
     scan.add_argument("--hmm", required=True, help="HMMER3 .hmm profile")
+    scan.add_argument(
+        "--stage",
+        default="msv",
+        choices=["msv", "viterbi", "forward", "search"],
+        help="scoring stage: single filter or the full search cascade",
+    )
     _add_common(scan)
     scan.set_defaults(fn=cmd_scan)
 

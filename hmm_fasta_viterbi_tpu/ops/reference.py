@@ -63,3 +63,76 @@ def msv_oracle_batch(profile: MSVProfile, tokens: np.ndarray, lengths: np.ndarra
         [msv_oracle(profile, tokens[b, : lengths[b]]) for b in range(tokens.shape[0])],
         dtype=np.float32,
     )
+
+
+def _shift(x: np.ndarray) -> np.ndarray:
+    """j-1 shift with -inf fill (state axis)."""
+    return np.concatenate(([NEG_INF], x[:-1])).astype(np.float32)
+
+
+def _p7_oracle(p7, tokens: np.ndarray, combine, reduce_) -> np.float32:
+    """Sequential full-profile DP in float32 — the golden model for both
+    Viterbi (max) and Forward (logaddexp). Delete chain evaluated in
+    strict left-to-right scalar order."""
+    tokens = np.asarray(tokens)
+    seq_len = tokens.shape[0]
+    mr = p7.num_states
+    from ..models.msv import length_transitions  # local import, avoids cycle
+
+    tr_loop, tr_move = length_transitions(seq_len)
+
+    m = np.full(mr, NEG_INF, dtype=np.float32)
+    i_st = np.full(mr, NEG_INF, dtype=np.float32)
+    d = np.full(mr, NEG_INF, dtype=np.float32)
+    j_st = NEG_INF
+    c_st = NEG_INF
+    n_st = np.float32(0.0)
+    b_st = tr_move
+
+    for t in range(seq_len):
+        aa = tokens[t]
+        ms = p7.msc[aa]
+        is_ = p7.isc[aa]
+        diag = combine(
+            combine(_shift(m + p7.tmm), _shift(i_st + p7.tim)), _shift(d + p7.tdm)
+        )
+        new_m = (ms + combine(diag, np.float32(b_st + p7.tr_B_Mk))).astype(np.float32)
+        new_i = (is_ + combine(m + p7.tmi, i_st + p7.tii)).astype(np.float32)
+        new_d = np.full(mr, NEG_INF, dtype=np.float32)
+        for j in range(1, mr):
+            new_d[j] = combine(
+                np.float32(new_m[j - 1] + p7.tmd[j - 1]),
+                np.float32(new_d[j - 1] + p7.tdd[j - 1]),
+            )
+        e_st = combine(reduce_(new_m), reduce_(new_d)) if mr else NEG_INF
+        j_st = combine(np.float32(j_st + tr_loop), np.float32(e_st + p7.tr_E_J))
+        c_st = combine(np.float32(c_st + tr_loop), np.float32(e_st + p7.tr_E_C))
+        n_st = np.float32(n_st + tr_loop)
+        b_st = combine(np.float32(n_st + tr_move), np.float32(j_st + tr_move))
+        m, i_st, d = new_m, new_i, new_d
+
+    return np.float32(c_st + tr_move)
+
+
+def viterbi_oracle(p7, tokens: np.ndarray) -> np.float32:
+    """Full local Viterbi score, sequential float32 golden model."""
+    return _p7_oracle(p7, tokens, np.maximum, np.max)
+
+
+def forward_oracle(p7, tokens: np.ndarray) -> np.float32:
+    """Forward (log-space) score, sequential float32 golden model."""
+    return _p7_oracle(p7, tokens, np.logaddexp, np.logaddexp.reduce)
+
+
+def viterbi_oracle_batch(p7, tokens: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    return np.array(
+        [viterbi_oracle(p7, tokens[b, : lengths[b]]) for b in range(tokens.shape[0])],
+        dtype=np.float32,
+    )
+
+
+def forward_oracle_batch(p7, tokens: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    return np.array(
+        [forward_oracle(p7, tokens[b, : lengths[b]]) for b in range(tokens.shape[0])],
+        dtype=np.float32,
+    )

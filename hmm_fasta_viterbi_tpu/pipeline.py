@@ -158,3 +158,91 @@ class MSVScanner:
     ) -> dict[str, np.ndarray]:
         """Sweep: scan the staged database against many profiles."""
         return {p.name: np.asarray(self.scan(p, staged)) for p in profiles}
+
+
+@dataclasses.dataclass
+class SearchResult:
+    """Outcome of the staged acceleration pipeline for one profile."""
+
+    msv_scores: np.ndarray  # [B] f32 (all sequences)
+    msv_pvalues: np.ndarray
+    viterbi_scores: np.ndarray  # [B] f32, NaN where not computed
+    viterbi_pvalues: np.ndarray
+    forward_scores: np.ndarray  # [B] f32, NaN where not computed
+    forward_pvalues: np.ndarray
+    passed_msv: np.ndarray  # [B] bool
+    passed_viterbi: np.ndarray
+    passed_forward: np.ndarray
+
+    @property
+    def hits(self) -> np.ndarray:
+        return np.flatnonzero(self.passed_forward)
+
+
+class SearchPipeline:
+    """hmmsearch-style acceleration cascade: MSV -> Viterbi -> Forward.
+
+    The reference implements only the MSV stage of this pipeline
+    (SURVEY.md scope note); the full cascade is this engine's extension,
+    using HMMER3's standard stage thresholds. Each stage only rescoring
+    the survivors of the previous one.
+    """
+
+    def __init__(
+        self,
+        scanner: MSVScanner | None = None,
+        msv_p: float = 0.02,
+        viterbi_p: float = 1e-3,
+        forward_p: float = 1e-5,
+    ):
+        self.scanner = scanner or MSVScanner()
+        self.msv_p = msv_p
+        self.viterbi_p = viterbi_p
+        self.forward_p = forward_p
+
+    def search(self, hmm, staged: StagedDatabase, tokens: np.ndarray, lengths: np.ndarray) -> SearchResult:
+        """Run the cascade. ``hmm`` is a ProfileHMM; ``tokens``/``lengths``
+        are the host-side arrays used to rescore survivor subsets."""
+        from .models import stats
+        from .models.p7 import P7Profile
+        from .ops.p7_scan import forward_xla, viterbi_xla
+
+        b = staged.num_sequences
+        msv_profile = MSVProfile.from_profile(hmm)
+        msv_scores = np.asarray(self.scanner.scan(msv_profile, staged))
+        msv_pv = stats.msv_pvalue(msv_scores, hmm)
+        passed_msv = msv_pv <= self.msv_p
+
+        vit_scores = np.full(b, np.nan, dtype=np.float32)
+        vit_pv = np.full(b, np.nan)
+        fwd_scores = np.full(b, np.nan, dtype=np.float32)
+        fwd_pv = np.full(b, np.nan)
+        passed_vit = np.zeros(b, dtype=bool)
+        passed_fwd = np.zeros(b, dtype=bool)
+
+        idx = np.flatnonzero(passed_msv)
+        if idx.size:
+            p7 = P7Profile.from_profile(hmm)
+            vs = np.asarray(viterbi_xla(p7, tokens[idx], lengths[idx]))
+            vit_scores[idx] = vs
+            vit_pv[idx] = stats.viterbi_pvalue(vs, hmm)
+            passed_vit[idx] = vit_pv[idx] <= self.viterbi_p
+
+            idx2 = np.flatnonzero(passed_vit)
+            if idx2.size:
+                fs = np.asarray(forward_xla(p7, tokens[idx2], lengths[idx2]))
+                fwd_scores[idx2] = fs
+                fwd_pv[idx2] = stats.forward_pvalue(fs, hmm)
+                passed_fwd[idx2] = fwd_pv[idx2] <= self.forward_p
+
+        return SearchResult(
+            msv_scores=msv_scores,
+            msv_pvalues=msv_pv,
+            viterbi_scores=vit_scores,
+            viterbi_pvalues=vit_pv,
+            forward_scores=fwd_scores,
+            forward_pvalues=fwd_pv,
+            passed_msv=passed_msv,
+            passed_viterbi=passed_vit,
+            passed_forward=passed_fwd,
+        )

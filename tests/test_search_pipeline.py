@@ -1,0 +1,93 @@
+"""Filter-cascade (MSV -> Viterbi -> Forward) tests.
+
+A consensus sequence (per-node argmax match emission) must sail through
+all three stages; random sequences must be rejected early.
+"""
+
+import numpy as np
+import pytest
+
+from hmm_fasta_viterbi_tpu import parse_hmm
+from hmm_fasta_viterbi_tpu.cli import main
+from hmm_fasta_viterbi_tpu.io.alphabet import AMINO_ACIDS
+from hmm_fasta_viterbi_tpu.io.fastaio import FastaRecord, write_fasta
+from hmm_fasta_viterbi_tpu.pipeline import MSVScanner, SearchPipeline
+
+
+def consensus_sequence(hmm) -> str:
+    best = np.argmax(hmm.match_emissions[1:], axis=1)
+    return "".join(AMINO_ACIDS[i] for i in best)
+
+
+@pytest.fixture(scope="module")
+def hmm100(profile_dir):
+    return parse_hmm(profile_dir / "100.hmm")
+
+
+@pytest.fixture(scope="module")
+def mixed_batch(hmm100):
+    rng = np.random.default_rng(21)
+    cons = consensus_sequence(hmm100)
+    from hmm_fasta_viterbi_tpu.io.alphabet import encode_sequence
+
+    cons_tokens = encode_sequence(cons)
+    seq_len = max(len(cons), 120)
+    tokens = rng.integers(0, 20, size=(5, seq_len)).astype(np.int32)
+    lengths = np.full(5, seq_len, dtype=np.int32)
+    tokens[2, : len(cons)] = cons_tokens
+    lengths[2] = len(cons)
+    return tokens, lengths
+
+
+def test_cascade(hmm100, mixed_batch):
+    tokens, lengths = mixed_batch
+    scanner = MSVScanner(backend="xla")
+    staged = scanner.stage(tokens, lengths)
+    result = SearchPipeline(scanner).search(hmm100, staged, tokens, lengths)
+
+    assert result.passed_msv[2]
+    assert result.passed_viterbi[2]
+    assert result.passed_forward[2]
+    assert result.hits.tolist() == [2]
+    # random sequences rejected at the first stage
+    assert not result.passed_msv[[0, 1, 3, 4]].any()
+    # stages only computed for survivors
+    assert np.isnan(result.viterbi_scores[0])
+    assert np.isfinite(result.viterbi_scores[2])
+    # forward dominates viterbi on the survivor
+    assert result.forward_scores[2] >= result.viterbi_scores[2]
+
+
+def test_cli_search_stage(tmp_path, profile_dir, hmm100, capsys):
+    cons = consensus_sequence(hmm100)
+    fasta = tmp_path / "mix.fsa"
+    rng = np.random.default_rng(3)
+    rand = "".join(AMINO_ACIDS[i] for i in rng.integers(0, 20, 150))
+    write_fasta(fasta, [FastaRecord("rand", rand), FastaRecord("cons", cons)])
+
+    rc = main(
+        ["scan", "--hmm", str(profile_dir / "100.hmm"), "--fasta", str(fasta),
+         "--stage", "search", "--backend", "xla"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if not l.startswith("#")]
+    assert len(lines) == 1  # only the MSV survivor is reported
+    assert lines[0].startswith("cons") and lines[0].rstrip().endswith("1")
+
+
+@pytest.mark.parametrize("stage", ["viterbi", "forward"])
+def test_cli_p7_stages(tmp_path, profile_dir, hmm100, stage, capsys):
+    cons = consensus_sequence(hmm100)
+    fasta = tmp_path / "c.fsa"
+    write_fasta(fasta, [FastaRecord("cons", cons)])
+    rc = main(
+        ["scan", "--hmm", str(profile_dir / "100.hmm"), "--fasta", str(fasta),
+         "--stage", stage]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if not l.startswith("#")]
+    assert len(lines) == 1
+    score_bits = float(lines[0].split("\t")[3])
+    assert score_bits > 50  # consensus scores far above noise
