@@ -37,6 +37,9 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
         choices=["auto", "native", "python"],
         help="data loader: native C++ fast path or pure-Python parsers",
     )
+    ap.add_argument("--config", default=None, help="EngineConfig JSON path")
+    ap.add_argument("--profile-trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the scan into DIR")
 
 
 _PVALUE_FNS = {
@@ -87,9 +90,27 @@ def cmd_scan(args) -> int:
         logger.warning("no valid sequences in %s", args.fasta)
         return 1
     tokens, lengths = db.encode()
-    scanner = MSVScanner(backend=args.backend)
+    scanner = _make_scanner(args)
     t0 = time.perf_counter()
 
+    from .runtime.profiling import device_trace
+
+    with device_trace(args.profile_trace):
+        return _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0)
+
+
+def _make_scanner(args) -> MSVScanner:
+    if getattr(args, "config", None):
+        from .runtime.config import EngineConfig
+
+        cfg = EngineConfig.from_json(args.config)
+        if args.backend != "auto":
+            cfg.backend = args.backend
+        return MSVScanner.from_config(cfg)
+    return MSVScanner(backend=args.backend)
+
+
+def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
     if args.stage == "msv":
         staged = scanner.stage(tokens, lengths)
         scores = np.asarray(scanner.scan(MSVProfile.from_profile(hmm), staged))
@@ -163,7 +184,7 @@ def cmd_sweep(args) -> int:
         logger.error("no .hmm files in %s", args.hmm_dir)
         return 1
     db = load_fasta(args.fasta, prefer=args.loader)
-    scanner = MSVScanner(backend=args.backend)
+    scanner = _make_scanner(args)
     staged = scanner.stage_fasta(db)
     for path in paths:
         profile = MSVProfile.from_profile(load_profile(path, prefer=args.loader))

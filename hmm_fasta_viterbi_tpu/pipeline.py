@@ -62,6 +62,15 @@ class MSVScanner:
     >>> scores = scanner.scan(profile, staged)
     """
 
+    @classmethod
+    def from_config(cls, config) -> "MSVScanner":
+        """Build from a runtime.config.EngineConfig."""
+        return cls(
+            backend=config.backend,
+            l_chunk=config.l_chunk,
+            m_bucket=config.m_bucket,
+        )
+
     def __init__(
         self,
         backend: Backend = "auto",
@@ -187,6 +196,15 @@ class SearchPipeline:
     using HMMER3's standard stage thresholds. Each stage only rescoring
     the survivors of the previous one.
     """
+
+    @classmethod
+    def from_config(cls, config, scanner: MSVScanner | None = None) -> "SearchPipeline":
+        return cls(
+            scanner=scanner or MSVScanner.from_config(config),
+            msv_p=config.msv_p,
+            viterbi_p=config.viterbi_p,
+            forward_p=config.forward_p,
+        )
 
     def __init__(
         self,
