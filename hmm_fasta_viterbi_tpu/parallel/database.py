@@ -75,6 +75,42 @@ def msv_scan_sharded(
     return np.asarray(scores)[:true_b]
 
 
+def make_db_scanner(
+    mesh: Mesh,
+    l_chunk: int = 512,
+    interpret: bool = False,
+):
+    """Pallas-kernel database scan sharded over ``db`` via shard_map.
+
+    Each device runs the MSV Pallas kernel on its local batch shard —
+    the pod-scale production path (XLA cannot auto-partition a
+    pallas_call, so the partitioning is explicit). Inputs use the staged
+    layout of pipeline.MSVScanner: tokens [L_pad, B_pad] int8 with B_pad
+    divisible by db * 128.
+
+    Returns a jitted fn(scores_t, tokens_i8_t, lengths, tr_rows,
+    tr_consts) -> scores [B_pad].
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas_msv import _msv_pallas_padded
+
+    def local_scan(scores_t, tokens_i8_t, lengths, tr_rows, tr_consts):
+        return _msv_pallas_padded(
+            scores_t, tokens_i8_t, lengths, tr_rows, tr_consts,
+            l_chunk=l_chunk, interpret=interpret,
+        )
+
+    mapped = jax.shard_map(
+        local_scan,
+        mesh=mesh,
+        in_specs=(P(), P(None, DB_AXIS), P(DB_AXIS), P(None, DB_AXIS), P()),
+        out_specs=P(DB_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def top_k_hits(scores: jax.Array, k: int):
     """Distributed top-k over (possibly sharded) scores.

@@ -36,55 +36,65 @@ from .mesh import DB_AXIS, SP_AXIS
 NEG_INF = float(-np.inf)
 
 
-def _wavefront(scores_real, tr_B_Mk, tr_E_C, tr_E_J, tokens, lengths, tr_loop, tr_move, unroll):
+def _wavefront(
+    scores_real, tr_B_Mk, tr_E_C, tr_E_J, tokens, lengths, tr_loop, tr_move,
+    unroll, group,
+):
     """Per-device body under shard_map.
 
     ``tokens`` is the local block [R, Lblk] (rows = local database shard,
     columns = this device's residue block); lengths/tr_* are the local
-    [R] rows; scores are replicated.
+    [R] rows; scores are replicated. Rows advance through the pipeline
+    ``group`` at a time (the in-flight microbatch), so each round scans a
+    [group, Lblk] block — wider groups amortize per-round overhead and
+    fill VPU sublanes; rounds = S + R/group - 1.
     """
     sp_size = jax.lax.axis_size(SP_AXIS)
     p = jax.lax.axis_index(SP_AXIS)
     rows, block_len = tokens.shape
     num_states = scores_real.shape[1]
+    num_groups = rows // group
     start_index = p * block_len  # global index of this block's first residue
 
-    def row_params(r):
+    def group_params(g0):
         return MSVParams(
             scores_real=scores_real,
             tr_B_Mk=tr_B_Mk,
             tr_E_C=tr_E_C,
             tr_E_J=tr_E_J,
-            lengths=jax.lax.dynamic_slice(lengths, (r,), (1,)),
-            tr_loop=jax.lax.dynamic_slice(tr_loop, (r,), (1,)),
-            tr_move=jax.lax.dynamic_slice(tr_move, (r,), (1,)),
+            lengths=jax.lax.dynamic_slice(lengths, (g0,), (group,)),
+            tr_loop=jax.lax.dynamic_slice(tr_loop, (g0,), (group,)),
+            tr_move=jax.lax.dynamic_slice(tr_move, (g0,), (group,)),
         )
 
     def round_body(t, state):
         carry_in, out = state
-        r = t - p  # wavefront: device p scans row r at round p + r
-        valid = (r >= 0) & (r < rows)
-        rc = jnp.clip(r, 0, rows - 1)
-        params = row_params(rc)
+        g = t - p  # wavefront: device p scans row-group g at round p + g
+        valid = (g >= 0) & (g < num_groups)
+        g0 = jnp.clip(g, 0, num_groups - 1) * group
+        params = group_params(g0)
 
-        # device 0 starts a fresh sequence each round; downstream devices
+        # device 0 starts fresh sequences each round; downstream devices
         # resume from the boundary carry received from device p-1
-        fresh = init_carry(params, 1, num_states)
+        fresh = init_carry(params, group, num_states)
         carry = jax.tree.map(
             lambda f, c: jnp.where(p == 0, f, c), fresh, carry_in
         )
 
-        toks = jax.lax.dynamic_slice(tokens, (rc, 0), (1, block_len))
+        toks = jax.lax.dynamic_slice(tokens, (g0, 0), (group, block_len))
         new_carry = block_scan(params, carry, toks, start_index=start_index, unroll=unroll)
         # masked rounds must not corrupt the in-flight carry
         new_carry = jax.tree.map(
             lambda n, o: jnp.where(valid, n, o), new_carry, carry_in
         )
 
-        # last pipeline stage emits the final score for row r
-        score = new_carry.c[0] + params.tr_move[0]
+        # last pipeline stage emits the final scores for this group
+        score = new_carry.c + params.tr_move
         emit = (p == sp_size - 1) & valid
-        out = out.at[rc].set(jnp.where(emit, score, out[rc]))
+        cur = jax.lax.dynamic_slice(out, (g0,), (group,))
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(emit, score, cur), (g0,)
+        )
 
         # boundary-carry exchange p -> p+1 over ICI
         carry_out = jax.tree.map(
@@ -96,22 +106,22 @@ def _wavefront(scores_real, tr_B_Mk, tr_E_C, tr_E_J, tokens, lengths, tr_loop, t
         return carry_out, out
 
     carry0 = MSVCarry(
-        m=jnp.zeros((1, num_states), dtype=jnp.float32),
-        j=jnp.zeros((1,), dtype=jnp.float32),
-        c=jnp.zeros((1,), dtype=jnp.float32),
-        n=jnp.zeros((1,), dtype=jnp.float32),
-        b=jnp.zeros((1,), dtype=jnp.float32),
+        m=jnp.zeros((group, num_states), dtype=jnp.float32),
+        j=jnp.zeros((group,), dtype=jnp.float32),
+        c=jnp.zeros((group,), dtype=jnp.float32),
+        n=jnp.zeros((group,), dtype=jnp.float32),
+        b=jnp.zeros((group,), dtype=jnp.float32),
     )
     out0 = jnp.zeros((rows,), dtype=jnp.float32)
-    num_rounds = sp_size + rows - 1
+    num_rounds = sp_size + num_groups - 1
     _, out = jax.lax.fori_loop(0, num_rounds, round_body, (carry0, out0))
     # only the last stage wrote scores; replicate over sp
     return jax.lax.psum(out, SP_AXIS)
 
 
-def make_seqblock_scanner(mesh: Mesh, unroll: int = 4):
+def make_seqblock_scanner(mesh: Mesh, unroll: int = 4, group: int = 8):
     """Build the jitted sharded scan fn for a (db, sp) mesh."""
-    fn = functools.partial(_wavefront, unroll=unroll)
+    fn = functools.partial(_wavefront, unroll=unroll, group=group)
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
@@ -133,10 +143,11 @@ def msv_scan_seqblocks(
     lengths: np.ndarray,
     mesh: Mesh,
     unroll: int = 4,
+    group: int = 8,
 ) -> np.ndarray:
     """Scan with residue blocks sharded over ``sp`` (and rows over ``db``).
 
-    Tokens are padded so rows divide the db axis and columns divide the
+    Tokens are padded so rows divide db * group and columns divide the
     sp axis; pad steps/rows are masked by the true lengths.
     """
     num_db = mesh.shape[DB_AXIS]
@@ -145,7 +156,8 @@ def msv_scan_seqblocks(
     lengths = np.asarray(lengths, dtype=np.int32)
     b, seq_len = tokens.shape
 
-    pad_b = -(-b // num_db) * num_db
+    group = min(group, max(1, -(-b // num_db)))
+    pad_b = -(-b // (num_db * group)) * num_db * group
     pad_l = -(-seq_len // num_sp) * num_sp
     padded = np.zeros((pad_b, pad_l), dtype=np.int32)
     padded[:b, :seq_len] = tokens
@@ -153,7 +165,7 @@ def msv_scan_seqblocks(
     lengths_p[:b] = lengths
     tr_loop, tr_move = length_transitions(lengths_p)
 
-    scanner = make_seqblock_scanner(mesh, unroll=unroll)
+    scanner = make_seqblock_scanner(mesh, unroll=unroll, group=group)
     out = scanner(
         jnp.asarray(profile.scores_real),
         jnp.float32(profile.tr_B_Mk),

@@ -91,3 +91,40 @@ def test_top_k(profile, batch):
     order = np.argsort(scores)[::-1][:3]
     np.testing.assert_array_equal(np.asarray(idx), order)
     np.testing.assert_allclose(np.asarray(vals), scores[order], atol=0)
+
+
+def test_seqblock_group_sizes(profile, batch):
+    """Row-group microbatching must not change scores."""
+    tokens, lengths = batch
+    mesh = make_scan_mesh(db=2, sp=4)
+    want = msv_oracle_batch(profile, tokens, lengths)
+    for group in (1, 2, 8):
+        got = msv_scan_seqblocks(profile, tokens, lengths, mesh, group=group)
+        np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
+
+
+def test_sharded_pallas_db_scan(profile, batch):
+    """shard_map'd Pallas kernel over the db axis (interpret on CPU)."""
+    import jax.numpy as jnp
+
+    from hmm_fasta_viterbi_tpu.parallel.database import make_db_scanner
+    from hmm_fasta_viterbi_tpu.pipeline import MSVScanner
+
+    tokens, lengths = batch
+    mesh = make_scan_mesh(db=8, sp=1)
+    scanner = MSVScanner(backend="pallas", interpret=True, l_chunk=64)
+    # pad the batch so it divides db * 128 lanes
+    b = tokens.shape[0]
+    b_pad = 8 * 128
+    tokens_p = np.zeros((b_pad, tokens.shape[1]), dtype=np.int32)
+    tokens_p[:b] = tokens
+    lengths_p = np.zeros(b_pad, dtype=np.int32)
+    lengths_p[:b] = lengths
+    staged = scanner.stage(tokens_p, lengths_p)
+    scores_t, tr_consts, _ = scanner._device_profile(profile)
+    fn = make_db_scanner(mesh, l_chunk=64, interpret=True)
+    got = np.asarray(
+        fn(scores_t, staged.tokens_i8_t, staged.lengths, staged.tr_rows, tr_consts)
+    )[:b]
+    want = msv_oracle_batch(profile, tokens, lengths)
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
