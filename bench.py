@@ -70,18 +70,38 @@ def main() -> int:
 
     extras: list[BenchResult] = []
     if args.sweep:
-        sweep_total_s = 0.0
-        sweep_cells = 0
-        for path in sorted(profile_dir.glob("*.hmm"), key=lambda p: int(p.stem)):
-            prof = MSVProfile.from_profile(parse_hmm(path))
-            res = bench_staged(f"sweep_{path.stem}_{scanner.backend}", scanner, prof, staged, 2)
-            extras.append(res)
-            sweep_total_s += res.seconds
-            sweep_cells += res.cells
-            print(f"# sweep {path.stem}: {res.gcups:.2f} GCUPS", file=sys.stderr)
+        import time as _time
+
+        profiles = [
+            MSVProfile.from_profile(parse_hmm(path))
+            for path in sorted(profile_dir.glob("*.hmm"), key=lambda p: int(p.stem))
+        ]
+        scanner.scan_many(profiles, staged)  # warmup / compile per M-bucket
+        best = float("inf")
+        for _ in range(max(args.reps, 2)):
+            t0 = _time.perf_counter()
+            scanner.scan_many(profiles, staged)
+            best = min(best, _time.perf_counter() - t0)
+        sweep_cells = sum(
+            int(np.asarray(staged.lengths)[: staged.num_sequences].astype(np.int64).sum())
+            * (p.model_length - 1)
+            for p in profiles
+        )
+        extras.append(
+            BenchResult(
+                name=f"sweep24_{scanner.backend}",
+                gcups=sweep_cells / best / 1e9,
+                seconds=best,
+                cells=sweep_cells,
+                batch=staged.num_sequences,
+                seq_len=args.seq_len,
+                model_length=0,
+                repetitions=max(args.reps, 2),
+            )
+        )
         print(
-            f"# sweep total: {sweep_cells/sweep_total_s/1e9:.2f} GCUPS over "
-            f"{sweep_cells/1e9:.1f} GCells in {sweep_total_s*1e3:.0f} ms",
+            f"# sweep24: {sweep_cells/best/1e9:.2f} GCUPS over "
+            f"{sweep_cells/1e9:.1f} GCells in {best*1e3:.0f} ms",
             file=sys.stderr,
         )
 

@@ -10,24 +10,29 @@ Layout (TPU-first, not a translation):
 * batch on LANES   — 128 sequences per tile, giving full VPU width on the
   special-state updates and the B->Mk broadcast;
 * M states on SUBLANES — [M_pad, 128] f32 DP tile; the j-1 shift is a
-  sublane shift; the E reduction is a cross-sublane max;
-* the residue loop is a ``fori_loop`` over an L-chunk grid dimension with
-  the carry held in the output buffers (block index independent of the
-  chunk index, so Mosaic keeps it in VMEM across chunks).
+  sublane rotate; the E reduction is a cross-sublane max;
+* grid (P, B_tiles, L_chunks): the residue loop is a ``fori_loop``
+  (unrolled 8 steps so Mosaic overlaps the E-reduce/MXU/VPU chains of
+  adjacent steps) over an L-chunk grid dimension, the carry held in the
+  output buffers (block index independent of the chunk index, so Mosaic
+  keeps it in VMEM across chunks); the leading P dimension scans a STACK
+  of same-shape profiles against the staged database in one call — the
+  reference sweep workload (benchmark_MSV.cpp) with the host round-trip
+  amortized over all profiles of an M-bucket.
 
 Emission selection — the reference's per-residue buffer rebind
 (MSV_HMM.cpp:383-387) — becomes a one-hot MXU matmul:
 ``scoresT [M_pad, 20] @ onehot [20, 128]``. With f32 operands at
 ``Precision.HIGHEST`` the TPU decomposes the score matrix into three
-bf16 terms whose sum reconstructs every f32 EXACTLY (24-bit mantissa
-split across 3x(8-bit+implicit) pieces; the residual after two splits
-has <= 6 significant bits), and the one-hot side is bf16-exact, so the
-selected emission is bit-exact — verified against the gather path in
-tests. The "generic vs specialized" axis of the reference
-(MSV_spec_kernels.cl) collapses into jit: shapes and the L-chunk layout
-are compile-time constants, while per-profile transition scalars stay
-runtime SMEM values so one compiled kernel serves every profile of a
-given padded shape.
+bf16 terms whose sum reconstructs every f32 to <= 1 ulp (24-bit mantissa
+split across 3x(8-bit+implicit) pieces), and the one-hot side is
+bf16-exact, so selected emissions carry ~1e-6 relative error — measured
+flat in L and far inside the reference's own 1e-4 tolerance
+(algorithms/test_MSV.cpp:10-12). The "generic vs specialized" axis of
+the reference (MSV_spec_kernels.cl) collapses into jit: shapes and the
+L-chunk layout are compile-time constants, while per-profile transition
+scalars stay runtime SMEM values so one compiled kernel serves every
+profile stack of a given padded shape.
 """
 
 from __future__ import annotations
@@ -50,34 +55,40 @@ PAD_SCORE = -1.0e30
 
 LANES = 128  # batch tile (sequences per kernel program)
 DEFAULT_L_CHUNK = 512
+STEP_UNROLL = 8  # fori_loop body unroll (measured ~10% over no unroll)
 
 
 def _msv_kernel(
-    # scalar-prefetch: none; inputs in order:
-    scores_ref,  # [M_pad, 20] f32 VMEM (padded rows = PAD_SCORE)
+    scores_ref,  # [1, M_pad, 20] f32 VMEM (this profile; pad rows PAD_SCORE)
     tokens_ref,  # [L_CHUNK, LANES] int32 VMEM (residues for this chunk)
     lengths_ref,  # [1, LANES] int32 VMEM
     tr_row_ref,  # [2, LANES] f32 VMEM: row 0 = tr_loop, row 1 = tr_move
-    tr_const_ref,  # [3] f32 SMEM: tr_B_Mk, tr_E_C, tr_E_J
+    tr_const_ref,  # [P, 3] f32 SMEM (full): tr_B_Mk, tr_E_C, tr_E_J rows
     m_in_ref,  # [M_pad, LANES] f32 VMEM: initial M carry
     s_in_ref,  # [4, LANES] f32 VMEM: initial J, C, N, B carry
     # outputs:
-    score_ref,  # [1, LANES] f32: running C + tr_move
-    m_out_ref,  # [M_pad, LANES] f32: M carry (persists across chunks)
+    score_ref,  # [1, 1, LANES] f32: running C + tr_move (per profile)
+    m_out_ref,  # [M_pad, LANES] f32: M carry (persists across chunks;
+    #             holds the LAST profile's carry when P > 1)
     s_out_ref,  # [4, LANES] f32: specials carry
+    *,
+    unroll: int,
 ):
-    l_idx = pl.program_id(1)
+    p_idx = pl.program_id(0)
+    l_idx = pl.program_id(2)
     chunk_len, lanes = tokens_ref.shape
-    m_pad = scores_ref.shape[0]
+    m_pad = scores_ref.shape[1]
+    scores = scores_ref[0, :, :]
 
-    tr_b_mk = tr_const_ref[0]
-    tr_e_c = tr_const_ref[1]
-    tr_e_j = tr_const_ref[2]
+    tr_b_mk = tr_const_ref[p_idx, 0]
+    tr_e_c = tr_const_ref[p_idx, 1]
+    tr_e_j = tr_const_ref[p_idx, 2]
     tr_loop = tr_row_ref[0:1, :]  # [1, LANES]
     tr_move = tr_row_ref[1:2, :]
     lengths = lengths_ref[0:1, :]
 
-    # first chunk loads the caller's carry; later chunks resume from the
+    # first chunk (re)loads the caller's carry — also the reset point
+    # when the profile grid index advances; later chunks resume from the
     # out buffers (same block across the l grid dim -> stays in VMEM)
     @pl.when(l_idx == 0)
     def _():
@@ -86,19 +97,17 @@ def _msv_kernel(
 
     m0 = m_out_ref[:, :]
     s0 = s_out_ref[:, :]
-    j0, c0, n0, b0 = s0[0:1, :], s0[1:2, :], s0[2:3, :], s0[3:4, :]
 
     aa_iota = jax.lax.broadcasted_iota(jnp.int32, (20, lanes), 0)
     row0_mask = jax.lax.broadcasted_iota(jnp.int32, (m_pad, lanes), 0) == 0
     base = l_idx * chunk_len
 
-    def step(t, carry):
-        m, j_st, c_st, n_st, b_st = carry
+    def one_step(t, m, j_st, c_st, n_st, b_st):
         tok = tokens_ref[pl.ds(t, 1), :]  # [1, LANES] int32
         onehot = (aa_iota == tok).astype(jnp.float32)  # [20, LANES]
-        # exact selection on the MXU (see module docstring)
+        # ~exact selection on the MXU (see module docstring)
         emit = jax.lax.dot_general(
-            scores_ref[:, :],
+            scores,
             onehot,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -126,69 +135,90 @@ def _msv_kernel(
             jnp.where(valid, new_b, b_st),
         )
 
+    def step(u, carry):
+        m, j_st, c_st, n_st, b_st = carry
+        for k in range(unroll):  # static unroll: overlaps adjacent steps
+            m, j_st, c_st, n_st, b_st = one_step(
+                u * unroll + k, m, j_st, c_st, n_st, b_st
+            )
+        return (m, j_st, c_st, n_st, b_st)
+
     m, j_st, c_st, n_st, b_st = jax.lax.fori_loop(
-        0, chunk_len, step, (m0, j0, c0, n0, b0)
+        0, chunk_len // unroll, step,
+        (m0, s0[0:1, :], s0[1:2, :], s0[2:3, :], s0[3:4, :]),
     )
 
     m_out_ref[:, :] = m
     s_out_ref[:, :] = jnp.concatenate([j_st, c_st, n_st, b_st], axis=0)
-    score_ref[:, :] = c_st + tr_move  # final C->T move (MSV_HMM.cpp:112)
+    score_ref[0, :, :] = c_st + tr_move  # final C->T move (MSV_HMM.cpp:112)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("l_chunk", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("l_chunk", "interpret", "unroll"))
 def msv_pallas_call(
-    scores_t: jax.Array,  # [M_pad, 20] f32 (rows >= Mr set to PAD_SCORE)
+    scores_t: jax.Array,  # [P, M_pad, 20] f32 (rows >= Mr set to PAD_SCORE)
     tokens_t: jax.Array,  # [L_pad, B_pad] int32
     lengths: jax.Array,  # [B_pad] int32
     tr_rows: jax.Array,  # [2, B_pad] f32 (tr_loop; tr_move)
-    tr_consts: jax.Array,  # [3] f32 (tr_B_Mk, tr_E_C, tr_E_J)
+    tr_consts: jax.Array,  # [P, 3] f32 (tr_B_Mk, tr_E_C, tr_E_J per profile)
     m_init: jax.Array,  # [M_pad, B_pad] f32
     s_init: jax.Array,  # [4, B_pad] f32 (J, C, N, B rows)
     l_chunk: int = DEFAULT_L_CHUNK,
     interpret: bool = False,
+    unroll: int = STEP_UNROLL,
 ):
     """Raw kernel invocation over padded operands.
 
-    Returns (scores [B_pad], m_carry [M_pad, B_pad], s_carry [4, B_pad])
-    so callers can chain blocks (parallel.seqblocks boundary exchange).
+    Returns (scores [P, B_pad], m_carry [M_pad, B_pad], s_carry
+    [4, B_pad]); the carries belong to the LAST profile of the stack and
+    enable block chaining (parallel.seqblocks boundary exchange) in the
+    P == 1 case.
     """
-    m_pad, twenty = scores_t.shape
+    num_p, m_pad, twenty = scores_t.shape
     l_pad, b_pad = tokens_t.shape
     assert twenty == 20 and b_pad % LANES == 0 and l_pad % l_chunk == 0
     assert m_pad % 8 == 0
+    # unrolling keeps several [M_pad, 128] panels live; scale it (and the
+    # token chunk) down for large models so the kernel stays inside the
+    # ~16 MB VMEM budget
+    if m_pad > 2048:
+        unroll = 1
+        if l_pad % 256 == 0:
+            l_chunk = min(l_chunk, 256)
+    elif m_pad > 1536:
+        unroll = min(unroll, 4)
+    while l_chunk % unroll:
+        unroll //= 2
     num_b = b_pad // LANES
     num_l = l_pad // l_chunk
 
     lengths2d = lengths.reshape(1, b_pad)
 
-    grid = (num_b, num_l)
+    grid = (num_p, num_b, num_l)
     score, m_out, s_out = pl.pallas_call(
-        _msv_kernel,
+        functools.partial(_msv_kernel, unroll=unroll),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_chunk, LANES), lambda b, l: (l, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((m_pad, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, 20), lambda p, b, l: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_chunk, LANES), lambda p, b, l: (l, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda p, b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LANES), lambda p, b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [P, 3] consts, full
+            pl.BlockSpec((m_pad, LANES), lambda p, b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, LANES), lambda p, b, l: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda p, b, l: (p, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, LANES), lambda p, b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, LANES), lambda p, b, l: (0, b), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_p, 1, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((m_pad, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((4, b_pad), jnp.float32),
         ),
         interpret=interpret,
     )(scores_t, tokens_t, lengths2d, tr_rows, tr_consts, m_init, s_init)
-    return score[0], m_out, s_out
+    return score[:, 0, :], m_out, s_out
 
 
 def _round_up(x: int, m: int) -> int:
@@ -197,17 +227,20 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("l_chunk", "interpret"))
 def _msv_pallas_padded(
-    scores_t: jax.Array,  # [M_pad, 20] f32
+    scores_t: jax.Array,  # [P, M_pad, 20] f32
     tokens_i8_t: jax.Array,  # [L_pad, B_pad] int8 (small upload; widened here)
     lengths: jax.Array,  # [B_pad] int32
     tr_rows: jax.Array,  # [2, B_pad] f32
-    tr_consts: jax.Array,  # [3] f32
+    tr_consts: jax.Array,  # [P, 3] f32
     l_chunk: int,
     interpret: bool,
 ) -> jax.Array:
     """Jitted wrapper building the DP init ON DEVICE (zero extra host
-    transfer — the host->device tunnel latency dominates small scans)."""
-    m_pad = scores_t.shape[0]
+    transfer — the host->device tunnel latency dominates small scans).
+
+    Returns scores [P, B_pad].
+    """
+    m_pad = scores_t.shape[1]
     b_pad = tokens_i8_t.shape[1]
     neg = jnp.float32(NEG_INF)
     m_init = jnp.full((m_pad, b_pad), neg, dtype=jnp.float32)
@@ -233,13 +266,31 @@ def _msv_pallas_padded(
     return score
 
 
-def prepare_scores_t(profile: MSVProfile) -> np.ndarray:
+def prepare_scores_t(profile: MSVProfile, m_pad: int | None = None) -> np.ndarray:
     """[M_pad, 20] transposed real-state scores, padded rows = PAD_SCORE."""
     mr = profile.num_states
-    m_pad = _round_up(mr, 8)
+    m_pad = m_pad or _round_up(mr, 8)
     out = np.full((m_pad, 20), PAD_SCORE, dtype=np.float32)
     out[:mr, :] = profile.scores_real.T
     return out
+
+
+def _prepare_batch(tokens, lengths, l_chunk):
+    tokens = np.asarray(tokens)
+    lengths_np = np.asarray(lengths, dtype=np.int32)
+    b, seq_len = tokens.shape
+    b_pad = _round_up(max(b, 1), LANES)
+    l_chunk = min(l_chunk, _round_up(max(seq_len, 1), 32))
+    l_pad = _round_up(max(seq_len, 1), l_chunk)
+    # int8 transport: tokens are 0..19, so ship 1/4 the bytes through the
+    # (high-latency) host->device path and widen on device
+    tokens_t = np.zeros((l_pad, b_pad), dtype=np.int8)
+    tokens_t[:seq_len, :b] = tokens.T
+    lengths_p = np.zeros(b_pad, dtype=np.int32)
+    lengths_p[:b] = lengths_np
+    tr_loop, tr_move = length_transitions(lengths_p)
+    tr_rows = np.stack([tr_loop, tr_move]).astype(np.float32)
+    return tokens_t, lengths_p, tr_rows, b, l_chunk
 
 
 def msv_pallas(
@@ -253,26 +304,10 @@ def msv_pallas(
 
     Same contract as ops.xla_scan.msv_xla (drop-in, differential-tested).
     """
-    tokens = np.asarray(tokens)
-    lengths_np = np.asarray(lengths, dtype=np.int32)
-    b, seq_len = tokens.shape
-
-    b_pad = _round_up(max(b, 1), LANES)
-    l_chunk = min(l_chunk, _round_up(max(seq_len, 1), 32))
-    l_pad = _round_up(max(seq_len, 1), l_chunk)
-
-    # int8 transport: tokens are 0..19, so ship 1/4 the bytes through the
-    # (high-latency) host->device path and widen on device
-    tokens_t = np.zeros((l_pad, b_pad), dtype=np.int8)
-    tokens_t[:seq_len, :b] = tokens.T
-    lengths_p = np.zeros(b_pad, dtype=np.int32)
-    lengths_p[:b] = lengths_np
-    tr_loop, tr_move = length_transitions(lengths_p)
-    tr_rows = np.stack([tr_loop, tr_move]).astype(np.float32)
-
-    scores_t = prepare_scores_t(profile)
+    tokens_t, lengths_p, tr_rows, b, l_chunk = _prepare_batch(tokens, lengths, l_chunk)
+    scores_t = prepare_scores_t(profile)[None]
     tr_consts = np.array(
-        [profile.tr_B_Mk, profile.tr_E_C, profile.tr_E_J], dtype=np.float32
+        [[profile.tr_B_Mk, profile.tr_E_C, profile.tr_E_J]], dtype=np.float32
     )
     score = _msv_pallas_padded(
         jnp.asarray(scores_t),
@@ -283,4 +318,33 @@ def msv_pallas(
         l_chunk=l_chunk,
         interpret=interpret,
     )
-    return score[:b]
+    return score[0, :b]
+
+
+def msv_pallas_stacked(
+    profiles: list[MSVProfile],
+    tokens: np.ndarray | jax.Array,
+    lengths: np.ndarray | jax.Array,
+    l_chunk: int = DEFAULT_L_CHUNK,
+    interpret: bool = False,
+) -> jax.Array:
+    """Scan a STACK of profiles (padded to one shared M_pad) in one kernel
+    call; returns f32 [P, B] — the sweep workload in one device round
+    trip per M-bucket."""
+    assert profiles, "empty profile stack"
+    tokens_t, lengths_p, tr_rows, b, l_chunk = _prepare_batch(tokens, lengths, l_chunk)
+    m_pad = _round_up(max(p.num_states for p in profiles), 8)
+    scores_t = np.stack([prepare_scores_t(p, m_pad) for p in profiles])
+    tr_consts = np.array(
+        [[p.tr_B_Mk, p.tr_E_C, p.tr_E_J] for p in profiles], dtype=np.float32
+    )
+    score = _msv_pallas_padded(
+        jnp.asarray(scores_t),
+        jnp.asarray(tokens_t),
+        jnp.asarray(lengths_p),
+        jnp.asarray(tr_rows),
+        jnp.asarray(tr_consts),
+        l_chunk=l_chunk,
+        interpret=interpret,
+    )
+    return score[:, :b]

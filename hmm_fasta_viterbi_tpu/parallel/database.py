@@ -96,10 +96,11 @@ def make_db_scanner(
     from ..ops.pallas_msv import _msv_pallas_padded
 
     def local_scan(scores_t, tokens_i8_t, lengths, tr_rows, tr_consts):
-        return _msv_pallas_padded(
+        out = _msv_pallas_padded(
             scores_t, tokens_i8_t, lengths, tr_rows, tr_consts,
             l_chunk=l_chunk, interpret=interpret,
         )
+        return out[0]  # single-profile stack -> [B_local]
 
     mapped = jax.shard_map(
         local_scan,

@@ -76,3 +76,38 @@ def test_non_multiple_of_8_model(profile_dir):
     want = msv_oracle_batch(prof, tokens, lengths)
     got = np.asarray(msv_pallas(prof, tokens, lengths, interpret=True))
     np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
+
+
+def test_stacked_profiles(profile_dir, fasta_dir):
+    """One kernel call scanning a stack of profiles (shared M_pad)."""
+    from hmm_fasta_viterbi_tpu.ops.pallas_msv import msv_pallas_stacked
+
+    db = parse_fasta(fasta_dir / "fasta_like_example.fsa")
+    tokens, lengths = db.encode(pad_multiple=8)
+    profiles = [
+        MSVProfile.from_profile(parse_hmm(profile_dir / f"{s}.hmm"))
+        for s in ("100", "200", "300")
+    ]
+    got = np.asarray(msv_pallas_stacked(profiles, tokens, lengths, interpret=True))
+    assert got.shape == (3, tokens.shape[0])
+    for k, p in enumerate(profiles):
+        want = msv_oracle_batch(p, tokens, lengths)
+        np.testing.assert_allclose(got[k], want, atol=TOL, rtol=0)
+
+
+def test_scan_many_bucketed(profile_dir, fasta_dir):
+    """Pipeline sweep path: bucketed stacked scans match per-profile."""
+    from hmm_fasta_viterbi_tpu.pipeline import MSVScanner
+
+    db = parse_fasta(fasta_dir / "fasta_like_example.fsa")
+    tokens, lengths = db.encode()
+    sc = MSVScanner(backend="pallas", interpret=True, l_chunk=64, m_bucket=256)
+    staged = sc.stage(tokens, lengths)
+    profiles = [
+        MSVProfile.from_profile(parse_hmm(profile_dir / f"{s}.hmm"))
+        for s in ("100", "200", "400", "500")  # 2 buckets at m_bucket=256
+    ]
+    results = sc.scan_many(profiles, staged)
+    for p in profiles:
+        want = msv_oracle_batch(p, tokens, lengths)
+        np.testing.assert_allclose(results[p.name], want, atol=TOL, rtol=0)
