@@ -22,17 +22,19 @@ Layout (TPU-first, not a translation):
 
 Emission selection — the reference's per-residue buffer rebind
 (MSV_HMM.cpp:383-387) — becomes a one-hot MXU matmul:
-``scoresT [M_pad, 20] @ onehot [20, 128]``. With f32 operands at
-``Precision.HIGHEST`` the TPU decomposes the score matrix into three
-bf16 terms whose sum reconstructs every f32 to <= 1 ulp (24-bit mantissa
-split across 3x(8-bit+implicit) pieces), and the one-hot side is
-bf16-exact, so selected emissions carry ~1e-6 relative error — measured
-flat in L and far inside the reference's own 1e-4 tolerance
-(algorithms/test_MSV.cpp:10-12). The "generic vs specialized" axis of
-the reference (MSV_spec_kernels.cl) collapses into jit: shapes and the
-L-chunk layout are compile-time constants, while per-profile transition
-scalars stay runtime SMEM values so one compiled kernel serves every
-profile stack of a given padded shape.
+``scoresT [M_pad, 20] @ onehot [20, 128]``. The score matrix is split
+ONCE per kernel invocation into three bf16 terms (hi + mid + lo) whose
+f32-accumulated products reconstruct every f32 score EXACTLY (24-bit
+mantissa across 3x(8-bit+implicit) pieces; the one-hot side is
+bf16-exact), so selection is bit-identical to a host gather — measured
+maxerr 0.0 against the NumPy oracle. Three explicit bf16 passes beat
+``Precision.HIGHEST`` (which must split BOTH f32 operands -> 6 passes)
+by ~1.6x end to end; the selection runs at the MXU's K=20 gather
+speed-of-light. The "generic vs specialized" axis of the reference
+(MSV_spec_kernels.cl) collapses into jit: shapes and the L-chunk layout
+are compile-time constants, while per-profile transition scalars stay
+runtime SMEM values so one compiled kernel serves every profile stack
+of a given padded shape.
 """
 
 from __future__ import annotations
@@ -54,8 +56,8 @@ NEG_INF = float(-np.inf)
 PAD_SCORE = -1.0e30
 
 LANES = 128  # batch tile (sequences per kernel program)
-DEFAULT_L_CHUNK = 512
-STEP_UNROLL = 8  # fori_loop body unroll (measured ~10% over no unroll)
+DEFAULT_L_CHUNK = 256
+STEP_UNROLL = 32  # fori_loop body unroll (tools/kernel_lab.py sweep)
 
 
 def _msv_kernel(
@@ -79,6 +81,14 @@ def _msv_kernel(
     chunk_len, lanes = tokens_ref.shape
     m_pad = scores_ref.shape[1]
     scores = scores_ref[0, :, :]
+
+    # exact 3-term bf16 split of the f32 score matrix, hoisted out of the
+    # residue loop: emit = (hi + mid + lo) @ onehot reconstructs f32
+    # exactly in 3 MXU passes (vs 6 for Precision.HIGHEST on f32 x f32)
+    s_hi = scores.astype(jnp.bfloat16)
+    _r1 = scores - s_hi.astype(jnp.float32)
+    s_mid = _r1.astype(jnp.bfloat16)
+    s_lo = (_r1 - s_mid.astype(jnp.float32)).astype(jnp.bfloat16)
 
     tr_b_mk = tr_const_ref[p_idx, 0]
     tr_e_c = tr_const_ref[p_idx, 1]
@@ -104,14 +114,17 @@ def _msv_kernel(
 
     def one_step(t, m, j_st, c_st, n_st, b_st):
         tok = tokens_ref[pl.ds(t, 1), :]  # [1, LANES] int32
-        onehot = (aa_iota == tok).astype(jnp.float32)  # [20, LANES]
-        # ~exact selection on the MXU (see module docstring)
+        onehot = (aa_iota == tok).astype(jnp.bfloat16)  # [20, LANES], exact
+        # exact selection on the MXU (see module docstring)
+        dn = (((1,), (0,)), ((), ()))
         emit = jax.lax.dot_general(
-            scores,
-            onehot,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            s_hi, onehot, dn, preferred_element_type=jnp.float32
+        )
+        emit += jax.lax.dot_general(
+            s_mid, onehot, dn, preferred_element_type=jnp.float32
+        )
+        emit += jax.lax.dot_general(
+            s_lo, onehot, dn, preferred_element_type=jnp.float32
         )  # [M_pad, LANES]
 
         # j-1 shift as a sublane rotate; the wrapped row 0 is replaced by
@@ -177,15 +190,13 @@ def msv_pallas_call(
     l_pad, b_pad = tokens_t.shape
     assert twenty == 20 and b_pad % LANES == 0 and l_pad % l_chunk == 0
     assert m_pad % 8 == 0
-    # unrolling keeps several [M_pad, 128] panels live; scale it (and the
-    # token chunk) down for large models so the kernel stays inside the
-    # ~16 MB VMEM budget
-    if m_pad > 2048:
-        unroll = 1
+    # unrolling keeps several [M_pad, 128] panels live; scale it down for
+    # very large models so the kernel stays inside the ~16 MB VMEM budget
+    # (unroll 32 measured fine through m_pad 2432, the data's maximum)
+    if m_pad > 4096:
+        unroll = min(unroll, 4)
         if l_pad % 256 == 0:
             l_chunk = min(l_chunk, 256)
-    elif m_pad > 1536:
-        unroll = min(unroll, 4)
     while l_chunk % unroll:
         unroll //= 2
     num_b = b_pad // LANES
@@ -271,7 +282,10 @@ def prepare_scores_t(profile: MSVProfile, m_pad: int | None = None) -> np.ndarra
     mr = profile.num_states
     m_pad = m_pad or _round_up(mr, 8)
     out = np.full((m_pad, 20), PAD_SCORE, dtype=np.float32)
-    out[:mr, :] = profile.scores_real.T
+    # clamp: a hypothetical -inf score (emission prob underflowing to 0)
+    # must stay finite — the kernel's bf16 split of -inf would NaN, while
+    # PAD_SCORE loses every max identically to -inf
+    out[:mr, :] = np.maximum(profile.scores_real.T, PAD_SCORE)
     return out
 
 
