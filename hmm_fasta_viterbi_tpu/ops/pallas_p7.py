@@ -1,0 +1,450 @@
+"""Pallas TPU kernels for the full-profile Viterbi and Forward scans.
+
+Same TPU-first layout as the MSV kernel (ops/pallas_msv.py): match
+states on SUBLANES ([M_pad, 128] f32 tiles), 128 sequences on LANES,
+the whole residue recurrence on-chip in a ``fori_loop`` with the DP
+carry (M, I, D rows + J/C/N/B specials) resident in VMEM across
+L-chunks of the grid. One kernel, two semirings: (max, +) for Viterbi
+and (logsumexp, +) for Forward, selected at trace time.
+
+The profile-HMM-specific hard part is the same-row delete chain
+
+    D_j = combine(M_{j-1} + tmd[j-1],  D_{j-1} + tdd[j-1])
+
+— sequential along the state axis in scalar form (the reference never
+built this stage; its transition rows are parsed but unused,
+SURVEY.md quirk 10). Here it runs as a Hillis-Steele affine prefix
+scan in ceil(log2 M_pad) sublane-roll passes. The affine multiplier
+(the tdd window sums) is STEP-INVARIANT, so every pass's additive
+constant — including the -inf mask that kills wrapped-around rolls —
+is precomputed once per kernel invocation, reducing each in-loop pass
+to roll + add + combine. This is the TPU-native replacement for
+HMMER's striped lazy-F fixup loop (and for the O(M) scalar chain of
+the NumPy oracle, ops/reference.py:_p7_oracle).
+
+Emission selection reuses the MSV kernel's exact 3-term bf16 split
+one-hot matmul, for both match and insert scores (6 MXU passes/step).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.msv import length_transitions
+from ..models.p7 import P7Profile
+from .pallas_msv import LANES, NEG_INF, PAD_SCORE, _round_up
+
+DEFAULT_L_CHUNK = 256
+STEP_UNROLL = 8
+
+
+def _split3(x):
+    """Exact 3-term bf16 decomposition of an f32 matrix (hi, mid, lo)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _select3(parts, onehot):
+    """emit = (hi + mid + lo) @ onehot, f32-exact in 3 MXU passes."""
+    dn = (((1,), (0,)), ((), ()))
+    hi, mid, lo = parts
+    acc = jax.lax.dot_general(hi, onehot, dn, preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(mid, onehot, dn, preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(lo, onehot, dn, preferred_element_type=jnp.float32)
+    return acc
+
+
+def _lse2(x, y):
+    """logaddexp without NaN at (-inf, -inf); Pallas-lowerable ops only."""
+    mx = jnp.maximum(x, y)
+    d = jnp.minimum(x, y) - mx
+    out = mx + jnp.log1p(jnp.exp(d))
+    return jnp.where(jnp.isnan(d), mx, out)  # both -inf
+
+
+def _lse_reduce0(x):
+    """logsumexp over axis 0 (states), [M_pad, LANES] -> [1, LANES];
+    all--inf columns stay -inf (no NaN)."""
+    mx = jnp.max(x, axis=0, keepdims=True)
+    sub = jnp.where(x == mx, jnp.float32(0.0), x - mx)
+    return mx + jnp.log(jnp.sum(jnp.exp(sub), axis=0, keepdims=True))
+
+
+def _p7_kernel(
+    msc_ref,  # [M_pad, 20] f32 VMEM match scores (pad rows PAD_SCORE)
+    isc_ref,  # [M_pad, 20] f32 VMEM insert scores (pad rows PAD_SCORE)
+    trans_ref,  # [M_pad, 8] f32 VMEM cols: tmm tmi tmd tim tii tdm tdd_s pad
+    chain_ref,  # [M_pad, 16] f32 VMEM: per-pass delete-chain constants
+    tokens_ref,  # [L_CHUNK, LANES] int32 VMEM
+    lengths_ref,  # [1, LANES] int32 VMEM
+    tr_row_ref,  # [2, LANES] f32 VMEM: tr_loop; tr_move
+    tr_const_ref,  # [1, 3] f32 SMEM: tr_B_Mk, tr_E_C, tr_E_J
+    m_in_ref,  # [M_pad, LANES] f32
+    i_in_ref,  # [M_pad, LANES] f32
+    d_in_ref,  # [M_pad, LANES] f32
+    s_in_ref,  # [4, LANES] f32: J, C, N, B
+    # outputs:
+    score_ref,  # [1, LANES] f32: C + tr_move
+    m_out_ref,
+    i_out_ref,
+    d_out_ref,
+    s_out_ref,
+    *,
+    unroll: int,
+    forward: bool,
+):
+    l_idx = pl.program_id(1)
+    chunk_len, lanes = tokens_ref.shape
+    m_pad = msc_ref.shape[0]
+
+    combine = _lse2 if forward else jnp.maximum
+    reduce0 = _lse_reduce0 if forward else (
+        lambda x: jnp.max(x, axis=0, keepdims=True)
+    )
+
+    msc_parts = _split3(msc_ref[:, :])
+    isc_parts = _split3(isc_ref[:, :])
+    tmm = trans_ref[:, 0:1]
+    tmi = trans_ref[:, 1:2]
+    tmd = trans_ref[:, 2:3]
+    tim = trans_ref[:, 3:4]
+    tii = trans_ref[:, 4:5]
+    tdm = trans_ref[:, 5:6]
+    # (col 6, the shifted tdd, only enters via the chain constants)
+
+    tr_b_mk = tr_const_ref[0, 0]
+    tr_e_c = tr_const_ref[0, 1]
+    tr_e_j = tr_const_ref[0, 2]
+    tr_loop = tr_row_ref[0:1, :]
+    tr_move = tr_row_ref[1:2, :]
+    lengths = lengths_ref[0:1, :]
+
+    # ---- delete-chain pass constants (host-precomputed) --------------
+    # Hillis-Steele pass k (distance s = 2^k) updates
+    #   A <- combine(A, roll(A, s) + C_k)
+    # where column k of chain_ref holds the current window multiplier
+    # (tdd window sums) with rows j < s forced to -inf (identity under
+    # combine) so wrapped-around rolls die. Step-invariant, packed into
+    # ONE lane-padded array (separate [M_pad, 1] consts each pad to 128
+    # lanes in VMEM — 11 of them OOMed the 16 MB budget at M=1400).
+    n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+
+    def delete_chain(a):
+        for k in range(n_passes):
+            rolled = pltpu.roll(a, shift=1 << k, axis=0)
+            a = combine(a, rolled + chain_ref[:, k:k + 1])
+        return a
+
+    @pl.when(l_idx == 0)
+    def _():
+        m_out_ref[:, :] = m_in_ref[:, :]
+        i_out_ref[:, :] = i_in_ref[:, :]
+        d_out_ref[:, :] = d_in_ref[:, :]
+        s_out_ref[:, :] = s_in_ref[:, :]
+
+    m0 = m_out_ref[:, :]
+    i0 = i_out_ref[:, :]
+    d0 = d_out_ref[:, :]
+    s0 = s_out_ref[:, :]
+
+    aa_iota = jax.lax.broadcasted_iota(jnp.int32, (20, lanes), 0)
+    row0_mask = jax.lax.broadcasted_iota(jnp.int32, (m_pad, lanes), 0) == 0
+    base = l_idx * chunk_len
+    neg = jnp.float32(NEG_INF)
+
+    def one_step(t, m, i_st, d, j_st, c_st, n_st, b_st):
+        tok = tokens_ref[pl.ds(t, 1), :]
+        onehot = (aa_iota == tok).astype(jnp.bfloat16)
+        ms = _select3(msc_parts, onehot)  # [M_pad, LANES]
+        is_ = _select3(isc_parts, onehot)
+
+        # M: combine of {B entry, M/I/D diagonal}; the three j-1 shifts
+        # share one roll by combining before rolling
+        diag_stay = combine(combine(m + tmm, i_st + tim), d + tdm)
+        diag = jnp.where(row0_mask, neg, pltpu.roll(diag_stay, shift=1, axis=0))
+        new_m = ms + combine(diag, b_st + tr_b_mk)
+        # I: vertical within node
+        new_i = is_ + combine(m + tmi, i_st + tii)
+        # D: same-row affine chain (see module docstring)
+        a0 = jnp.where(row0_mask, neg, pltpu.roll(new_m + tmd, shift=1, axis=0))
+        new_d = delete_chain(a0)
+        # E: local exit from every M and D (score 0)
+        e_st = reduce0(combine(new_m, new_d))
+        new_j = combine(j_st + tr_loop, e_st + tr_e_j)
+        new_c = combine(c_st + tr_loop, e_st + tr_e_c)
+        new_n = n_st + tr_loop
+        new_b = combine(new_n + tr_move, new_j + tr_move)
+
+        # only the specials are masked for ragged lanes: a finished
+        # lane's M/I/D rows keep evolving but feed nothing unmasked
+        valid = (base + t) < lengths
+        return (
+            new_m,
+            new_i,
+            new_d,
+            jnp.where(valid, new_j, j_st),
+            jnp.where(valid, new_c, c_st),
+            jnp.where(valid, new_n, n_st),
+            jnp.where(valid, new_b, b_st),
+        )
+
+    def step(u, carry):
+        m, i_st, d, j_st, c_st, n_st, b_st = carry
+        for k in range(unroll):
+            m, i_st, d, j_st, c_st, n_st, b_st = one_step(
+                u * unroll + k, m, i_st, d, j_st, c_st, n_st, b_st
+            )
+        return (m, i_st, d, j_st, c_st, n_st, b_st)
+
+    m, i_st, d, j_st, c_st, n_st, b_st = jax.lax.fori_loop(
+        0, chunk_len // unroll, step,
+        (m0, i0, d0, s0[0:1, :], s0[1:2, :], s0[2:3, :], s0[3:4, :]),
+    )
+
+    m_out_ref[:, :] = m
+    i_out_ref[:, :] = i_st
+    d_out_ref[:, :] = d
+    s_out_ref[:, :] = jnp.concatenate([j_st, c_st, n_st, b_st], axis=0)
+    score_ref[:, :] = c_st + tr_move
+
+
+@functools.partial(
+    jax.jit, static_argnames=("l_chunk", "interpret", "unroll", "forward")
+)
+def p7_pallas_call(
+    msc_t: jax.Array,  # [M_pad, 20] f32
+    isc_t: jax.Array,  # [M_pad, 20] f32
+    trans_t: jax.Array,  # [M_pad, 8] f32
+    chain_t: jax.Array,  # [M_pad, 16] f32 delete-chain pass constants
+    tokens_t: jax.Array,  # [L_pad, B_pad] int32
+    lengths: jax.Array,  # [B_pad] int32
+    tr_rows: jax.Array,  # [2, B_pad] f32
+    tr_consts: jax.Array,  # [1, 3] f32
+    m_init: jax.Array,  # [M_pad, B_pad] f32
+    i_init: jax.Array,
+    d_init: jax.Array,
+    s_init: jax.Array,  # [4, B_pad] f32
+    l_chunk: int = DEFAULT_L_CHUNK,
+    interpret: bool = False,
+    unroll: int = STEP_UNROLL,
+    forward: bool = False,
+):
+    """Raw kernel invocation over padded operands. Returns
+    (scores [B_pad], m/i/d carries [M_pad, B_pad], s carry [4, B_pad])."""
+    m_pad, twenty = msc_t.shape
+    l_pad, b_pad = tokens_t.shape
+    assert twenty == 20 and b_pad % LANES == 0 and l_pad % l_chunk == 0
+    assert m_pad % 8 == 0
+    # three [M_pad, 128] carries + ~15 per-step [M_pad, 128] temporaries
+    # (emission selects, diag, chain passes): scale the unroll down for
+    # large models to bound the VMEM scoped allocation
+    if m_pad > 1536:
+        unroll = min(unroll, 2)
+    elif m_pad > 768:
+        unroll = min(unroll, 4)
+    while l_chunk % unroll:
+        unroll //= 2
+    num_b = b_pad // LANES
+    num_l = l_pad // l_chunk
+    lengths2d = lengths.reshape(1, b_pad)
+
+    carry_spec = pl.BlockSpec(
+        (m_pad, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM
+    )
+    s_spec = pl.BlockSpec((4, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM)
+    score, m_out, i_out, d_out, s_out = pl.pallas_call(
+        functools.partial(_p7_kernel, unroll=unroll, forward=forward),
+        grid=(num_b, num_l),
+        in_specs=[
+            pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 8), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 16), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_chunk, LANES), lambda b, l: (l, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            carry_spec,
+            carry_spec,
+            carry_spec,
+            s_spec,
+        ],
+        # carries update in place: init inputs alias the carry outputs
+        # (saves 3x [M_pad, B_pad] VMEM blocks + copies)
+        input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
+        out_specs=(
+            pl.BlockSpec((1, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            carry_spec,
+            carry_spec,
+            carry_spec,
+            s_spec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((4, b_pad), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        msc_t, isc_t, trans_t, chain_t, tokens_t, lengths2d, tr_rows,
+        tr_consts, m_init, i_init, d_init, s_init,
+    )
+    return score[0], m_out, i_out, d_out, s_out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("l_chunk", "interpret", "forward")
+)
+def _p7_pallas_padded(
+    msc_t, isc_t, trans_t, chain_t, tokens_i8_t, lengths, tr_rows,
+    tr_consts, l_chunk: int, interpret: bool, forward: bool,
+):
+    """Jitted wrapper: DP init built on device; returns scores [B_pad]."""
+    m_pad = msc_t.shape[0]
+    b_pad = tokens_i8_t.shape[1]
+    neg = jnp.float32(NEG_INF)
+    core_init = jnp.full((m_pad, b_pad), neg, dtype=jnp.float32)
+    s_init = jnp.stack(
+        [
+            jnp.full((b_pad,), neg, dtype=jnp.float32),  # J
+            jnp.full((b_pad,), neg, dtype=jnp.float32),  # C
+            jnp.zeros((b_pad,), dtype=jnp.float32),  # N
+            tr_rows[1],  # B = tr_move
+        ]
+    )
+    score, *_ = p7_pallas_call(
+        msc_t,
+        isc_t,
+        trans_t,
+        chain_t,
+        tokens_i8_t.astype(jnp.int32),
+        lengths,
+        tr_rows,
+        tr_consts,
+        core_init,
+        core_init,
+        core_init,
+        s_init,
+        l_chunk=l_chunk,
+        interpret=interpret,
+        forward=forward,
+    )
+    return score
+
+
+def prepare_p7_device(p7: P7Profile, m_pad: int | None = None):
+    """Host-side packing: (msc_t, isc_t, trans_t, chain_t, tr_consts).
+
+    Emission pads/clamps use the finite PAD_SCORE (the bf16 split of
+    -inf would NaN); transition columns keep true -inf semantics.
+    ``chain_t[:, k]`` is the Hillis-Steele pass-k additive constant for
+    the delete chain: the tdd window sum composed over 2^k links, with
+    rows j < 2^k forced to -inf (kills wrapped-around rolls).
+    """
+    mr = p7.num_states
+    m_pad = m_pad or _round_up(max(mr, 8), 8)
+    msc_t = np.full((m_pad, 20), PAD_SCORE, dtype=np.float32)
+    msc_t[:mr] = np.maximum(p7.msc.T, PAD_SCORE)
+    isc_t = np.full((m_pad, 20), PAD_SCORE, dtype=np.float32)
+    isc_t[:mr] = np.maximum(p7.isc.T, PAD_SCORE)
+    trans_t = np.full((m_pad, 8), NEG_INF, dtype=np.float32)
+    tdd_s = np.concatenate(([np.float32(NEG_INF)], p7.tdd[:-1]))
+    for col, vec in enumerate(
+        (p7.tmm, p7.tmi, p7.tmd, p7.tim, p7.tii, p7.tdm, tdd_s)
+    ):
+        trans_t[:mr, col] = vec
+
+    chain_t = np.full((m_pad, 16), NEG_INF, dtype=np.float32)
+    n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+    assert n_passes <= 16, "chain_t supports m_pad <= 65536"
+    rows = np.arange(m_pad)
+    c_cur = np.full(m_pad, NEG_INF, dtype=np.float32)
+    c_cur[:mr] = tdd_s
+    for k in range(n_passes):
+        s = 1 << k
+        chain_t[:, k] = np.where(rows < s, np.float32(NEG_INF), c_cur)
+        rolled = np.roll(c_cur, s)
+        with np.errstate(invalid="ignore"):
+            c_cur = (c_cur + np.where(rows < s, np.float32(0.0), rolled)).astype(
+                np.float32
+            )
+
+    tr_consts = np.array(
+        [[p7.tr_B_Mk, p7.tr_E_C, p7.tr_E_J]], dtype=np.float32
+    )
+    return msc_t, isc_t, trans_t, chain_t, tr_consts
+
+
+def _prepare_tokens(tokens, lengths, l_chunk):
+    tokens = np.asarray(tokens)
+    lengths_np = np.asarray(lengths, dtype=np.int32)
+    b, seq_len = tokens.shape
+    b_pad = _round_up(max(b, 1), LANES)
+    l_chunk = min(l_chunk, _round_up(max(seq_len, 1), 32))
+    l_pad = _round_up(max(seq_len, 1), l_chunk)
+    tokens_t = np.zeros((l_pad, b_pad), dtype=np.int8)
+    tokens_t[:seq_len, :b] = tokens.T
+    lengths_p = np.zeros(b_pad, dtype=np.int32)
+    lengths_p[:b] = lengths_np
+    tr_loop, tr_move = length_transitions(lengths_p)
+    tr_rows = np.stack([tr_loop, tr_move]).astype(np.float32)
+    return tokens_t, lengths_p, tr_rows, b, l_chunk
+
+
+def _run(p7, tokens, lengths, l_chunk, interpret, forward):
+    tokens_t, lengths_p, tr_rows, b, l_chunk = _prepare_tokens(
+        tokens, lengths, l_chunk
+    )
+    msc_t, isc_t, trans_t, chain_t, tr_consts = prepare_p7_device(p7)
+    score = _p7_pallas_padded(
+        jnp.asarray(msc_t),
+        jnp.asarray(isc_t),
+        jnp.asarray(trans_t),
+        jnp.asarray(chain_t),
+        jnp.asarray(tokens_t),
+        jnp.asarray(lengths_p),
+        jnp.asarray(tr_rows),
+        jnp.asarray(tr_consts),
+        l_chunk=l_chunk,
+        interpret=interpret,
+        forward=forward,
+    )
+    return score[:b]
+
+
+def viterbi_pallas(
+    p7: P7Profile,
+    tokens,
+    lengths,
+    l_chunk: int = DEFAULT_L_CHUNK,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full local Viterbi scores via the Pallas kernel; f32 [B].
+
+    Drop-in for ops.p7_scan.viterbi_xla (differential-tested)."""
+    return _run(p7, tokens, lengths, l_chunk, interpret, forward=False)
+
+
+def forward_pallas(
+    p7: P7Profile,
+    tokens,
+    lengths,
+    l_chunk: int = DEFAULT_L_CHUNK,
+    interpret: bool = False,
+) -> jax.Array:
+    """Forward (log-space) scores via the Pallas kernel; f32 [B]."""
+    return _run(p7, tokens, lengths, l_chunk, interpret, forward=True)

@@ -18,6 +18,7 @@ Design for TPU economics:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 from typing import Literal
 
@@ -252,12 +253,28 @@ class SearchPipeline:
         self.viterbi_p = viterbi_p
         self.forward_p = forward_p
 
+    def _p7_fns(self):
+        """Viterbi/Forward implementations following the scanner backend
+        (Pallas kernels on TPU, lax.scan on CPU/XLA)."""
+        if self.scanner.backend == "pallas":
+            from .ops.pallas_p7 import forward_pallas, viterbi_pallas
+
+            interpret = self.scanner.interpret
+            return (
+                functools.partial(viterbi_pallas, interpret=interpret),
+                functools.partial(forward_pallas, interpret=interpret),
+            )
+        from .ops.p7_scan import forward_xla, viterbi_xla
+
+        return viterbi_xla, forward_xla
+
     def search(self, hmm, staged: StagedDatabase, tokens: np.ndarray, lengths: np.ndarray) -> SearchResult:
         """Run the cascade. ``hmm`` is a ProfileHMM; ``tokens``/``lengths``
         are the host-side arrays used to rescore survivor subsets."""
         from .models import stats
         from .models.p7 import P7Profile
-        from .ops.p7_scan import forward_xla, viterbi_xla
+
+        viterbi_fn, forward_fn = self._p7_fns()
 
         b = staged.num_sequences
         msv_profile = MSVProfile.from_profile(hmm)
@@ -275,14 +292,14 @@ class SearchPipeline:
         idx = np.flatnonzero(passed_msv)
         if idx.size:
             p7 = P7Profile.from_profile(hmm)
-            vs = np.asarray(viterbi_xla(p7, tokens[idx], lengths[idx]))
+            vs = np.asarray(viterbi_fn(p7, tokens[idx], lengths[idx]))
             vit_scores[idx] = vs
             vit_pv[idx] = stats.viterbi_pvalue(vs, hmm)
             passed_vit[idx] = vit_pv[idx] <= self.viterbi_p
 
             idx2 = np.flatnonzero(passed_vit)
             if idx2.size:
-                fs = np.asarray(forward_xla(p7, tokens[idx2], lengths[idx2]))
+                fs = np.asarray(forward_fn(p7, tokens[idx2], lengths[idx2]))
                 fwd_scores[idx2] = fs
                 fwd_pv[idx2] = stats.forward_pvalue(fs, hmm)
                 passed_fwd[idx2] = fwd_pv[idx2] <= self.forward_p

@@ -1,0 +1,85 @@
+"""Differential tests for the Pallas Viterbi/Forward kernels
+(interpret mode on the CPU mesh; the same kernels compile on TPU).
+
+Oracle chain: brute-force path enumeration -> sequential NumPy oracle
+(test_p7.py) -> these kernels.
+"""
+
+import numpy as np
+import pytest
+
+from hmm_fasta_viterbi_tpu import parse_hmm, parse_hmm_text
+from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+from hmm_fasta_viterbi_tpu.ops.pallas_p7 import forward_pallas, viterbi_pallas
+from hmm_fasta_viterbi_tpu.ops.reference import (
+    forward_oracle_batch,
+    viterbi_oracle_batch,
+)
+
+from test_hmm_parsing import MINI_HMM
+
+VIT_TOL = 1e-4
+FWD_TOL = 2e-3
+
+
+@pytest.fixture(scope="module")
+def p7_100(profile_dir):
+    return P7Profile.from_profile(parse_hmm(profile_dir / "100.hmm"))
+
+
+@pytest.fixture(scope="module")
+def p7_200(profile_dir):
+    return P7Profile.from_profile(parse_hmm(profile_dir / "200.hmm"))
+
+
+def _ragged(seed=1, n=6, width=128):
+    rng = np.random.default_rng(seed)
+    lengths = np.minimum(
+        np.array([64, 1, 33, width, 17, 2][:n], dtype=np.int32), width
+    )
+    tokens = rng.integers(0, 20, size=(n, width)).astype(np.int32)
+    return tokens, lengths
+
+
+def test_viterbi_pallas_vs_oracle(p7_100):
+    tokens, lengths = _ragged()
+    want = viterbi_oracle_batch(p7_100, tokens, lengths)
+    got = np.asarray(viterbi_pallas(p7_100, tokens, lengths, interpret=True))
+    np.testing.assert_allclose(got, want, atol=VIT_TOL, rtol=0)
+
+
+def test_forward_pallas_vs_oracle(p7_100):
+    tokens, lengths = _ragged(seed=2)
+    want = forward_oracle_batch(p7_100, tokens, lengths)
+    got = np.asarray(forward_pallas(p7_100, tokens, lengths, interpret=True))
+    np.testing.assert_allclose(got, want, atol=FWD_TOL, rtol=0)
+
+
+def test_viterbi_pallas_second_profile(p7_200):
+    """Different M bucket exercises a different chain-pass count."""
+    tokens, lengths = _ragged(seed=3)
+    want = viterbi_oracle_batch(p7_200, tokens, lengths)
+    got = np.asarray(viterbi_pallas(p7_200, tokens, lengths, interpret=True))
+    np.testing.assert_allclose(got, want, atol=VIT_TOL, rtol=0)
+
+
+def test_viterbi_pallas_mini_profile():
+    """Tiny hand-written profile: heavy D-path usage, m_pad == 8 floor."""
+    p7 = P7Profile.from_profile(parse_hmm_text(MINI_HMM))
+    tokens, lengths = _ragged(seed=4, n=4, width=32)
+    want = viterbi_oracle_batch(p7, tokens, lengths)
+    got = np.asarray(viterbi_pallas(p7, tokens, lengths, interpret=True))
+    np.testing.assert_allclose(got, want, atol=VIT_TOL, rtol=0)
+
+
+def test_pallas_padding_invariance(p7_100):
+    """Extending the padded width must not change scores."""
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(0, 20, size=(2, 50)).astype(np.int32)
+    lengths = np.array([50, 31], dtype=np.int32)
+    a = np.asarray(viterbi_pallas(p7_100, tokens, lengths, interpret=True))
+    wider = np.concatenate(
+        [tokens, rng.integers(0, 20, size=(2, 46)).astype(np.int32)], axis=1
+    )
+    b = np.asarray(viterbi_pallas(p7_100, wider, lengths, interpret=True))
+    np.testing.assert_array_equal(a, b)
