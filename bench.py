@@ -49,6 +49,10 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true", help="small batch smoke run")
     ap.add_argument("--sweep", action="store_true", help="also run the 24-profile sweep")
     ap.add_argument("--e2e", action="store_true", help="also time cold end-to-end scans")
+    ap.add_argument(
+        "--stages", action="store_true",
+        help="also time the Viterbi/Forward stage kernels (batch/8)",
+    )
     args = ap.parse_args()
 
     if args.quick:
@@ -104,6 +108,32 @@ def main() -> int:
             f"{sweep_cells/1e9:.1f} GCells in {best*1e3:.0f} ms",
             file=sys.stderr,
         )
+
+    if args.stages:
+        from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+
+        if scanner.backend == "pallas":
+            from hmm_fasta_viterbi_tpu.ops.pallas_p7 import (
+                forward_pallas as fwd_fn,
+                viterbi_pallas as vit_fn,
+            )
+        else:
+            from hmm_fasta_viterbi_tpu.ops.p7_scan import (
+                forward_xla as fwd_fn,
+                viterbi_xla as vit_fn,
+            )
+        p7 = P7Profile.from_profile(parse_hmm(profile_dir / "1400.hmm"))
+        sb = max(128, args.batch // 8)
+        s_tokens, s_lengths = tokens[:sb], lengths[:sb]
+        for nm, fn in (("viterbi", vit_fn), ("forward", fwd_fn)):
+            r = bench_profile(
+                f"{nm}_1400_{scanner.backend}", p7, fn, s_tokens, s_lengths, args.reps
+            )
+            extras.append(r)
+            print(
+                f"# {nm}: {r.gcups:.2f} GCUPS ({r.seconds*1e3:.1f} ms, batch {sb})",
+                file=sys.stderr,
+            )
 
     if args.e2e:
         from hmm_fasta_viterbi_tpu.ops.pallas_msv import msv_pallas

@@ -227,6 +227,9 @@ def msv_pallas_call(
             jax.ShapeDtypeStruct((m_pad, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((4, b_pad), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(scores_t, tokens_t, lengths2d, tr_rows, tr_consts, m_init, s_init)
     return score[:, 0, :], m_out, s_out
