@@ -112,14 +112,24 @@ def _make_scanner(args) -> MSVScanner:
 
 def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
     if args.stage == "msv":
-        staged = scanner.stage(tokens, lengths)
-        scores = np.asarray(scanner.scan(MSVProfile.from_profile(hmm), staged))
+        profile = MSVProfile.from_profile(hmm)
+        if getattr(args, "bucketed", False):
+            bucketed = scanner.stage_bucketed(tokens, lengths)
+            logger.info(
+                "bucketed staging: %d buckets, %.0f%% padded cells saved",
+                len(bucketed.buckets), 100 * bucketed.padded_cells_saved,
+            )
+            scores = scanner.scan_bucketed(profile, bucketed)
+        else:
+            staged = scanner.stage(tokens, lengths)
+            scores = np.asarray(scanner.scan(profile, staged))
     elif args.stage in ("viterbi", "forward"):
         from .models.p7 import P7Profile
-        from .ops.p7_scan import forward_xla, viterbi_xla
+        from .pipeline import select_p7_fns
 
         p7 = P7Profile.from_profile(hmm)
-        fn = viterbi_xla if args.stage == "viterbi" else forward_xla
+        vit_fn, fwd_fn = select_p7_fns(scanner.backend, scanner.interpret)
+        fn = vit_fn if args.stage == "viterbi" else fwd_fn
         scores = np.asarray(fn(p7, tokens, lengths))
     else:  # search: full MSV -> Viterbi -> Forward cascade
         from .pipeline import SearchPipeline
@@ -217,6 +227,11 @@ def build_parser() -> argparse.ArgumentParser:
         default="msv",
         choices=["msv", "viterbi", "forward", "search"],
         help="scoring stage: single filter or the full search cascade",
+    )
+    scan.add_argument(
+        "--bucketed",
+        action="store_true",
+        help="length-bucketed staging for ragged databases (msv stage)",
     )
     _add_common(scan)
     scan.set_defaults(fn=cmd_scan)

@@ -118,6 +118,50 @@ class MSVScanner:
         tokens, lengths = db.encode()
         return self.stage(tokens, lengths)
 
+    def stage_bucketed(
+        self,
+        tokens: np.ndarray,
+        lengths: np.ndarray,
+        waste_factor: float = 0.25,
+    ) -> "BucketedDatabase":
+        """Stage a ragged batch as length-sorted buckets (see
+        :class:`BucketedDatabase`). ``waste_factor`` caps per-sequence
+        padding: a bucket closes when the next (longer) sequence's
+        rounded length exceeds the bucket's shortest by more than this
+        fraction."""
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths, dtype=np.int32)
+        b = tokens.shape[0]
+        order = np.argsort(lengths, kind="stable")
+
+        buckets: list[StagedDatabase] = []
+        bucket_order: list[np.ndarray] = []
+        start = 0
+        while start < b:
+            lo = max(int(lengths[order[start]]), 1)
+            cap = _round_up(max(int(lo * (1.0 + waste_factor)), 1), self.l_chunk)
+            end = start
+            while end < b and lengths[order[end]] <= cap:
+                end += 1
+            idx = order[start:end]
+            l_max = max(int(lengths[idx].max()), 1)  # stage() rounds up
+            buckets.append(self.stage(tokens[idx, :l_max], lengths[idx]))
+            bucket_order.append(idx)
+            start = end
+        return BucketedDatabase(
+            buckets=buckets, order=bucket_order, num_sequences=b
+        )
+
+    def scan_bucketed(
+        self, profile: MSVProfile, bucketed: "BucketedDatabase"
+    ) -> np.ndarray:
+        """Score every sequence of a bucketed database -> f32 [B] in the
+        ORIGINAL order."""
+        out = np.empty(bucketed.num_sequences, dtype=np.float32)
+        for staged, idx in zip(bucketed.buckets, bucketed.order):
+            out[idx] = np.asarray(self.scan(profile, staged))
+        return out
+
     # -- profile upload (cached) ----------------------------------------
     def _device_profile(self, profile: MSVProfile):
         key = id(profile)
@@ -204,6 +248,49 @@ class MSVScanner:
         return results
 
 
+def select_p7_fns(backend: str, interpret: bool = False):
+    """(viterbi_fn, forward_fn) for a backend: Pallas kernels on TPU
+    (ops.pallas_p7), lax.scan elsewhere (ops.p7_scan)."""
+    if backend == "pallas":
+        from .ops.pallas_p7 import forward_pallas, viterbi_pallas
+
+        return (
+            functools.partial(viterbi_pallas, interpret=interpret),
+            functools.partial(forward_pallas, interpret=interpret),
+        )
+    from .ops.p7_scan import forward_xla, viterbi_xla
+
+    return viterbi_xla, forward_xla
+
+
+@dataclasses.dataclass
+class BucketedDatabase:
+    """A ragged database staged as length-sorted buckets.
+
+    Real protein databases are heavily length-skewed (most sequences a
+    few hundred aa, a tail out to tens of thousands); padding everything
+    to the global maximum wastes the DP grid on padding cells. Buckets
+    bound that waste: sequences are sorted by length, grouped so no
+    bucket pads a sequence by more than ``waste_factor`` of its rounded
+    length, and each bucket is staged separately. Scans run per bucket
+    and results are scattered back to the original order.
+    """
+
+    buckets: list[StagedDatabase]
+    order: list[np.ndarray]  # original indices per bucket
+    num_sequences: int
+
+    @property
+    def padded_cells_saved(self) -> float:
+        """Fraction of padded residues avoided vs single-bucket staging."""
+        per_bucket = sum(
+            s.tokens_i8_t.shape[0] * s.num_sequences for s in self.buckets
+        )
+        max_l = max(s.tokens_i8_t.shape[0] for s in self.buckets)
+        single = max_l * self.num_sequences
+        return 1.0 - per_bucket / single if single else 0.0
+
+
 @dataclasses.dataclass
 class SearchResult:
     """Outcome of the staged acceleration pipeline for one profile."""
@@ -256,17 +343,7 @@ class SearchPipeline:
     def _p7_fns(self):
         """Viterbi/Forward implementations following the scanner backend
         (Pallas kernels on TPU, lax.scan on CPU/XLA)."""
-        if self.scanner.backend == "pallas":
-            from .ops.pallas_p7 import forward_pallas, viterbi_pallas
-
-            interpret = self.scanner.interpret
-            return (
-                functools.partial(viterbi_pallas, interpret=interpret),
-                functools.partial(forward_pallas, interpret=interpret),
-            )
-        from .ops.p7_scan import forward_xla, viterbi_xla
-
-        return viterbi_xla, forward_xla
+        return select_p7_fns(self.scanner.backend, self.scanner.interpret)
 
     def search(self, hmm, staged: StagedDatabase, tokens: np.ndarray, lengths: np.ndarray) -> SearchResult:
         """Run the cascade. ``hmm`` is a ProfileHMM; ``tokens``/``lengths``

@@ -64,3 +64,34 @@ def test_m_bucketing_parity(profile_dir, fasta_dir):
         sc = MSVScanner(backend="pallas", interpret=True, l_chunk=64, m_bucket=m_bucket)
         got = np.asarray(sc.scan(profile, sc.stage(tokens, lengths)))
         np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
+
+
+def test_bucketed_scan_matches_oracle(scanner, profile_dir):
+    """Length-bucketed staging: scores identical, original order kept."""
+    rng = np.random.default_rng(11)
+    # heavily skewed lengths: many short, a long tail
+    lengths = np.array([5, 700, 33, 64, 9, 180, 1, 640, 70, 12], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(len(lengths), 700)).astype(np.int32)
+    profile = MSVProfile.from_profile(parse_hmm(profile_dir / "100.hmm"))
+
+    bucketed = scanner.stage_bucketed(tokens, lengths)
+    assert len(bucketed.buckets) > 1  # skew must actually split
+    assert sum(s.num_sequences for s in bucketed.buckets) == len(lengths)
+    got = scanner.scan_bucketed(profile, bucketed)
+    want = msv_oracle_batch(profile, tokens, lengths)
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
+    assert bucketed.padded_cells_saved > 0.3
+
+
+def test_bucketed_single_bucket_degenerate(scanner, profile_dir):
+    """Uniform lengths collapse to one bucket and still round-trip."""
+    rng = np.random.default_rng(12)
+    lengths = np.full(5, 96, dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(5, 96)).astype(np.int32)
+    profile = MSVProfile.from_profile(parse_hmm(profile_dir / "100.hmm"))
+    bucketed = scanner.stage_bucketed(tokens, lengths)
+    assert len(bucketed.buckets) == 1
+    got = scanner.scan_bucketed(profile, bucketed)
+    np.testing.assert_allclose(
+        got, msv_oracle_batch(profile, tokens, lengths), atol=TOL, rtol=0
+    )
