@@ -40,6 +40,17 @@ from hmm_fasta_viterbi_tpu.bench.harness import (  # noqa: E402
 from hmm_fasta_viterbi_tpu.pipeline import MSVScanner  # noqa: E402
 
 
+class _P7StageScanner:
+    """Adapter: bench_staged(scanner.scan) -> MSVScanner.scan_p7(stage)."""
+
+    def __init__(self, scanner: MSVScanner, stage: str):
+        self._scanner = scanner
+        self._stage = stage
+
+    def scan(self, profile, staged):
+        return self._scanner.scan_p7(profile, staged, stage=self._stage)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
@@ -112,22 +123,17 @@ def main() -> int:
     if args.stages:
         from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
 
-        if scanner.backend == "pallas":
-            from hmm_fasta_viterbi_tpu.ops.pallas_p7 import (
-                forward_pallas as fwd_fn,
-                viterbi_pallas as vit_fn,
-            )
-        else:
-            from hmm_fasta_viterbi_tpu.ops.p7_scan import (
-                forward_xla as fwd_fn,
-                viterbi_xla as vit_fn,
-            )
         p7 = P7Profile.from_profile(parse_hmm(profile_dir / "1400.hmm"))
         sb = max(128, args.batch // 8)
         s_tokens, s_lengths = tokens[:sb], lengths[:sb]
-        for nm, fn in (("viterbi", vit_fn), ("forward", fwd_fn)):
-            r = bench_profile(
-                f"{nm}_1400_{scanner.backend}", p7, fn, s_tokens, s_lengths, args.reps
+        s_staged = scanner.stage(s_tokens, s_lengths)
+        for nm in ("viterbi", "forward"):
+            r = bench_staged(
+                f"{nm}_1400_{scanner.backend}",
+                _P7StageScanner(scanner, nm),
+                p7,
+                s_staged,
+                args.reps,
             )
             extras.append(r)
             print(

@@ -206,6 +206,49 @@ class MSVScanner:
             )
         return out[: staged.num_sequences]
 
+    # -- full-profile stages over a staged database -----------------------
+    def scan_p7(self, p7, staged: StagedDatabase, stage: str = "viterbi") -> jax.Array:
+        """Viterbi/Forward scores of every staged sequence -> f32 [B].
+
+        Pallas backend scans the device-resident tokens directly (no
+        per-call host upload — the p7 kernels' raw throughput); the xla
+        backend falls back to the lax.scan path.
+        """
+        assert stage in ("viterbi", "forward")
+        if self.backend == "pallas":
+            from .ops import pallas_p7
+
+            key = (id(p7), "p7")
+            dev = self._profile_cache.get(key)
+            if dev is None:
+                packed = pallas_p7.prepare_p7_device(p7)
+                dev = tuple(jnp.asarray(x) for x in packed)
+                self._profile_cache[key] = dev
+            msc_t, isc_t, trans_t, chain_t, tr_consts = dev
+            out = pallas_p7._p7_pallas_padded(
+                msc_t,
+                isc_t,
+                trans_t,
+                chain_t,
+                staged.tokens_i8_t,
+                staged.lengths,
+                staged.tr_rows,
+                tr_consts,
+                l_chunk=self.l_chunk,
+                interpret=self.interpret,
+                forward=(stage == "forward"),
+            )
+        else:
+            from .ops.p7_scan import forward_xla, viterbi_xla
+
+            fn = viterbi_xla if stage == "viterbi" else forward_xla
+            out = fn(
+                p7,
+                np.asarray(staged.tokens),
+                np.asarray(staged.lengths),
+            )
+        return out[: staged.num_sequences]
+
     def scan_many(
         self, profiles: list[MSVProfile], staged: StagedDatabase
     ) -> dict[str, np.ndarray]:

@@ -95,3 +95,26 @@ def test_bucketed_single_bucket_degenerate(scanner, profile_dir):
     np.testing.assert_allclose(
         got, msv_oracle_batch(profile, tokens, lengths), atol=TOL, rtol=0
     )
+
+
+def test_scan_p7_staged_matches_oracle(scanner, profile_dir):
+    """Staged Viterbi/Forward scans (device-resident tokens)."""
+    from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+    from hmm_fasta_viterbi_tpu.ops.reference import (
+        forward_oracle_batch,
+        viterbi_oracle_batch,
+    )
+
+    rng = np.random.default_rng(13)
+    lengths = np.array([40, 1, 64, 17], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(len(lengths), 64)).astype(np.int32)
+    p7 = P7Profile.from_profile(parse_hmm(profile_dir / "100.hmm"))
+    staged = scanner.stage(tokens, lengths)
+    got_v = np.asarray(scanner.scan_p7(p7, staged, stage="viterbi"))
+    np.testing.assert_allclose(
+        got_v, viterbi_oracle_batch(p7, tokens, lengths), atol=1e-4, rtol=0
+    )
+    got_f = np.asarray(scanner.scan_p7(p7, staged, stage="forward"))
+    np.testing.assert_allclose(
+        got_f, forward_oracle_batch(p7, tokens, lengths), atol=2e-3, rtol=0
+    )
