@@ -218,26 +218,38 @@ class MSVScanner:
         if self.backend == "pallas":
             from .ops import pallas_p7
 
-            key = (id(p7), "p7")
+            key = (id(p7), "p7", stage)
             dev = self._profile_cache.get(key)
             if dev is None:
-                packed = pallas_p7.prepare_p7_device(p7)
+                packed = (
+                    pallas_p7.prepare_p7_device_prob(p7)
+                    if stage == "forward"
+                    else pallas_p7.prepare_p7_device(p7)
+                )
                 dev = tuple(jnp.asarray(x) for x in packed)
                 self._profile_cache[key] = dev
-            msc_t, isc_t, trans_t, chain_t, tr_consts = dev
-            out = pallas_p7._p7_pallas_padded(
-                msc_t,
-                isc_t,
-                trans_t,
-                chain_t,
-                staged.tokens_i8_t,
-                staged.lengths,
-                staged.tr_rows,
-                tr_consts,
-                l_chunk=self.l_chunk,
-                interpret=self.interpret,
-                forward=(stage == "forward"),
-            )
+            if stage == "forward":
+                # scaled-probability Forward kernel (see ops.pallas_p7)
+                out = pallas_p7._fwd_prob_padded(
+                    *dev[:4],
+                    staged.tokens_i8_t,
+                    staged.lengths,
+                    staged.tr_rows,
+                    dev[4],
+                    l_chunk=self.l_chunk,
+                    interpret=self.interpret,
+                )
+            else:
+                out = pallas_p7._p7_pallas_padded(
+                    *dev[:4],
+                    staged.tokens_i8_t,
+                    staged.lengths,
+                    staged.tr_rows,
+                    dev[4],
+                    l_chunk=self.l_chunk,
+                    interpret=self.interpret,
+                    forward=False,
+                )
         else:
             from .ops.p7_scan import forward_xla, viterbi_xla
 

@@ -83,3 +83,25 @@ def test_pallas_padding_invariance(p7_100):
     )
     b = np.asarray(viterbi_pallas(p7_100, wider, lengths, interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_forward_prob_space_vs_oracle(p7_100):
+    """Scaled-probability Forward kernel (the default TPU path)."""
+    tokens, lengths = _ragged(seed=6)
+    want = forward_oracle_batch(p7_100, tokens, lengths)
+    got = np.asarray(
+        forward_pallas(p7_100, tokens, lengths, interpret=True, prob_space=True)
+    )
+    np.testing.assert_allclose(got, want, atol=FWD_TOL, rtol=0)
+
+
+def test_forward_prob_space_long_sequence(p7_100):
+    """Many rescale groups + chunk-boundary carries (log_scale row)."""
+    rng = np.random.default_rng(7)
+    lengths = np.array([700, 512], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(2, 700)).astype(np.int32)
+    want = forward_oracle_batch(p7_100, tokens, lengths)
+    got = np.asarray(
+        forward_pallas(p7_100, tokens, lengths, interpret=True, prob_space=True)
+    )
+    np.testing.assert_allclose(got, want, atol=FWD_TOL, rtol=0)
