@@ -40,6 +40,16 @@ from hmm_fasta_viterbi_tpu.bench.harness import (  # noqa: E402
 from hmm_fasta_viterbi_tpu.pipeline import MSVScanner  # noqa: E402
 
 
+class _FilterScanner:
+    """Adapter: bench_staged -> MSVScanner.scan_filter."""
+
+    def __init__(self, scanner: MSVScanner):
+        self._scanner = scanner
+
+    def scan(self, profile, staged):
+        return self._scanner.scan_filter(profile, staged)
+
+
 class _P7StageScanner:
     """Adapter: bench_staged(scanner.scan) -> MSVScanner.scan_p7(stage)."""
 
@@ -63,6 +73,10 @@ def main() -> int:
     ap.add_argument(
         "--stages", action="store_true",
         help="also time the Viterbi/Forward stage kernels (batch/8)",
+    )
+    ap.add_argument(
+        "--filter", action="store_true",
+        help="also time the upper-bound bf16 MSV prefilter",
     )
     args = ap.parse_args()
 
@@ -117,6 +131,20 @@ def main() -> int:
         print(
             f"# sweep24: {sweep_cells/best/1e9:.2f} GCUPS over "
             f"{sweep_cells/1e9:.1f} GCells in {best*1e3:.0f} ms",
+            file=sys.stderr,
+        )
+
+    if args.filter and scanner.backend == "pallas":
+        r = bench_staged(
+            f"filter_1400_{scanner.backend}",
+            _FilterScanner(scanner),
+            headline_profile,
+            staged,
+            args.reps,
+        )
+        extras.append(r)
+        print(
+            f"# filter: {r.gcups:.2f} GCUPS ({r.seconds*1e3:.1f} ms)",
             file=sys.stderr,
         )
 

@@ -135,7 +135,8 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
         from .pipeline import SearchPipeline
 
         staged = scanner.stage(tokens, lengths)
-        result = SearchPipeline(scanner).search(hmm, staged, tokens, lengths)
+        pipeline = SearchPipeline(scanner, fast_msv=getattr(args, "fast", False))
+        result = pipeline.search(hmm, staged, tokens, lengths)
         dt = time.perf_counter() - t0
         logger.info(
             "search %s: %d seqs -> %d past MSV -> %d past Viterbi -> %d hits (%.3fs)",
@@ -227,6 +228,11 @@ def build_parser() -> argparse.ArgumentParser:
         default="msv",
         choices=["msv", "viterbi", "forward", "search"],
         help="scoring stage: single filter or the full search cascade",
+    )
+    scan.add_argument(
+        "--fast",
+        action="store_true",
+        help="search stage: bf16 upper-bound MSV prefilter + exact rescore",
     )
     scan.add_argument(
         "--bucketed",

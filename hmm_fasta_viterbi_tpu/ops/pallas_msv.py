@@ -75,6 +75,8 @@ def _msv_kernel(
     s_out_ref,  # [4, LANES] f32: specials carry
     *,
     unroll: int,
+    exact: bool = True,
+    skip_row0_guard: bool = False,
 ):
     p_idx = pl.program_id(0)
     l_idx = pl.program_id(2)
@@ -82,13 +84,18 @@ def _msv_kernel(
     m_pad = scores_ref.shape[1]
     scores = scores_ref[0, :, :]
 
-    # exact 3-term bf16 split of the f32 score matrix, hoisted out of the
-    # residue loop: emit = (hi + mid + lo) @ onehot reconstructs f32
-    # exactly in 3 MXU passes (vs 6 for Precision.HIGHEST on f32 x f32)
-    s_hi = scores.astype(jnp.bfloat16)
-    _r1 = scores - s_hi.astype(jnp.float32)
-    s_mid = _r1.astype(jnp.bfloat16)
-    s_lo = (_r1 - s_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    if exact:
+        # exact 3-term bf16 split of the f32 score matrix, hoisted out of
+        # the residue loop: emit = (hi + mid + lo) @ onehot reconstructs
+        # f32 exactly in 3 MXU passes (vs 6 for Precision.HIGHEST)
+        s_hi = scores.astype(jnp.bfloat16)
+        _r1 = scores - s_hi.astype(jnp.float32)
+        s_mid = _r1.astype(jnp.bfloat16)
+        s_lo = (_r1 - s_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    else:
+        # filter mode: scores_ref is ALREADY bf16, rounded UP on the host
+        # (prepare_scores_t_filter) — one MXU pass, upper-bound scores
+        s_hi = scores
 
     tr_b_mk = tr_const_ref[p_idx, 0]
     tr_e_c = tr_const_ref[p_idx, 1]
@@ -115,23 +122,27 @@ def _msv_kernel(
     def one_step(t, m, j_st, c_st, n_st, b_st):
         tok = tokens_ref[pl.ds(t, 1), :]  # [1, LANES] int32
         onehot = (aa_iota == tok).astype(jnp.bfloat16)  # [20, LANES], exact
-        # exact selection on the MXU (see module docstring)
+        # selection on the MXU (see module docstring)
         dn = (((1,), (0,)), ((), ()))
         emit = jax.lax.dot_general(
             s_hi, onehot, dn, preferred_element_type=jnp.float32
         )
-        emit += jax.lax.dot_general(
-            s_mid, onehot, dn, preferred_element_type=jnp.float32
-        )
-        emit += jax.lax.dot_general(
-            s_lo, onehot, dn, preferred_element_type=jnp.float32
-        )  # [M_pad, LANES]
+        if exact:
+            emit += jax.lax.dot_general(
+                s_mid, onehot, dn, preferred_element_type=jnp.float32
+            )
+            emit += jax.lax.dot_general(
+                s_lo, onehot, dn, preferred_element_type=jnp.float32
+            )  # [M_pad, LANES]
 
         # j-1 shift as a sublane rotate; the wrapped row 0 is replaced by
-        # the dummy-M0 -inf (dp[:, 0] never updates — MSV_HMM.cpp:86,100)
-        shifted = jnp.where(
-            row0_mask, jnp.float32(NEG_INF), pltpu.roll(m, shift=1, axis=0)
-        )
+        # the dummy-M0 -inf (dp[:, 0] never updates — MSV_HMM.cpp:86,100).
+        # Filter mode skips the guard when the caller guarantees pad rows
+        # exist (m_pad > mr): the wrapped-in pad row sits at ~-1e30 and
+        # loses every max exactly like -inf.
+        shifted = pltpu.roll(m, shift=1, axis=0)
+        if not skip_row0_guard:
+            shifted = jnp.where(row0_mask, jnp.float32(NEG_INF), shifted)
         new_m = emit + jnp.maximum(shifted, b_st + tr_b_mk)
         e_st = jnp.max(new_m, axis=0, keepdims=True)  # [1, LANES]
         new_j = jnp.maximum(j_st + tr_loop, e_st + tr_e_j)
@@ -140,8 +151,11 @@ def _msv_kernel(
         new_b = jnp.maximum(new_n + tr_move, new_j + tr_move)
 
         valid = (base + t) < lengths  # [1, LANES] bool
+        # filter mode skips the M-carry mask: a finished lane's M rows
+        # keep evolving but feed only the masked specials, and filter
+        # scans never chain their M carry across calls
         return (
-            jnp.where(valid, new_m, m),
+            jnp.where(valid, new_m, m) if exact else new_m,
             jnp.where(valid, new_j, j_st),
             jnp.where(valid, new_c, c_st),
             jnp.where(valid, new_n, n_st),
@@ -166,7 +180,10 @@ def _msv_kernel(
     score_ref[0, :, :] = c_st + tr_move  # final C->T move (MSV_HMM.cpp:112)
 
 
-@functools.partial(jax.jit, static_argnames=("l_chunk", "interpret", "unroll"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("l_chunk", "interpret", "unroll", "exact", "skip_row0_guard"),
+)
 def msv_pallas_call(
     scores_t: jax.Array,  # [P, M_pad, 20] f32 (rows >= Mr set to PAD_SCORE)
     tokens_t: jax.Array,  # [L_pad, B_pad] int32
@@ -178,6 +195,8 @@ def msv_pallas_call(
     l_chunk: int = DEFAULT_L_CHUNK,
     interpret: bool = False,
     unroll: int = STEP_UNROLL,
+    exact: bool = True,
+    skip_row0_guard: bool = False,
 ):
     """Raw kernel invocation over padded operands.
 
@@ -206,7 +225,10 @@ def msv_pallas_call(
 
     grid = (num_p, num_b, num_l)
     score, m_out, s_out = pl.pallas_call(
-        functools.partial(_msv_kernel, unroll=unroll),
+        functools.partial(
+            _msv_kernel, unroll=unroll, exact=exact,
+            skip_row0_guard=skip_row0_guard,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, m_pad, 20), lambda p, b, l: (p, 0, 0), memory_space=pltpu.VMEM),
@@ -239,7 +261,10 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("l_chunk", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("l_chunk", "interpret", "exact", "skip_row0_guard"),
+)
 def _msv_pallas_padded(
     scores_t: jax.Array,  # [P, M_pad, 20] f32
     tokens_i8_t: jax.Array,  # [L_pad, B_pad] int8 (small upload; widened here)
@@ -248,6 +273,8 @@ def _msv_pallas_padded(
     tr_consts: jax.Array,  # [P, 3] f32
     l_chunk: int,
     interpret: bool,
+    exact: bool = True,
+    skip_row0_guard: bool = False,
 ) -> jax.Array:
     """Jitted wrapper building the DP init ON DEVICE (zero extra host
     transfer — the host->device tunnel latency dominates small scans).
@@ -276,6 +303,8 @@ def _msv_pallas_padded(
         s_init,
         l_chunk=l_chunk,
         interpret=interpret,
+        exact=exact,
+        skip_row0_guard=skip_row0_guard,
     )
     return score
 
@@ -290,6 +319,26 @@ def prepare_scores_t(profile: MSVProfile, m_pad: int | None = None) -> np.ndarra
     # PAD_SCORE loses every max identically to -inf
     out[:mr, :] = np.maximum(profile.scores_real.T, PAD_SCORE)
     return out
+
+
+def prepare_scores_t_filter(profile: MSVProfile, m_pad: int | None = None) -> np.ndarray:
+    """[M_pad, 20] BF16 score matrix rounded UP (toward +inf).
+
+    Filter-mode contract: every emission score is >= its f32 value, and
+    max-plus DP is monotone in the emissions, so the filter score is a
+    guaranteed UPPER BOUND on the exact score — thresholding on it can
+    produce no false negatives (the same one-sided-bias idea as HMMER's
+    biased u8 MSV filter), only extra survivors for the exact rescore.
+    """
+    f32 = prepare_scores_t(profile, m_pad)  # [M_pad, 20] f32
+    hi = f32.astype(jnp.bfloat16)  # round-to-nearest
+    hi_f32 = hi.astype(np.float32)
+    below = hi_f32 < f32
+    u = hi.view(np.uint16)
+    # next bf16 toward +inf: raw+1 for positives, raw-1 for negatives
+    # (+0 -> smallest positive subnormal is raw 1, also handled by +1)
+    bumped = np.where(u & 0x8000, u - 1, u + 1).astype(np.uint16)
+    return np.where(below, bumped, u).view(jnp.bfloat16)
 
 
 def _prepare_batch(tokens, lengths, l_chunk):

@@ -206,6 +206,41 @@ class MSVScanner:
             )
         return out[: staged.num_sequences]
 
+    def scan_filter(self, profile: MSVProfile, staged: StagedDatabase) -> jax.Array:
+        """Fast MSV prefilter: one-MXU-pass bf16 kernel whose scores are
+        a guaranteed UPPER BOUND on the exact scores (host rounds the
+        score matrix up; max-plus is monotone — see
+        pallas_msv.prepare_scores_t_filter). Thresholding on these scores
+        cannot drop a true hit; rescore survivors with :meth:`scan`.
+        Pallas backend only (falls back to the exact scan elsewhere)."""
+        if self.backend != "pallas":
+            return self.scan(profile, staged)
+        key = (id(profile), "filter")
+        dev = self._profile_cache.get(key)
+        if dev is None:
+            # mr + 1 guarantees at least one ~-1e30 pad row, which lets
+            # the kernel skip the per-step row0 wrap guard (27% faster)
+            m_pad = _round_up(profile.num_states + 1, self.m_bucket)
+            scores_t = pallas_msv.prepare_scores_t_filter(profile, m_pad)[None]
+            tr_consts = np.array(
+                [[profile.tr_B_Mk, profile.tr_E_C, profile.tr_E_J]],
+                dtype=np.float32,
+            )
+            dev = (jnp.asarray(scores_t), jnp.asarray(tr_consts))
+            self._profile_cache[key] = dev
+        out = pallas_msv._msv_pallas_padded(
+            dev[0],
+            staged.tokens_i8_t,
+            staged.lengths,
+            staged.tr_rows,
+            dev[1],
+            l_chunk=self.l_chunk,
+            interpret=self.interpret,
+            exact=False,
+            skip_row0_guard=True,
+        )[0]
+        return out[: staged.num_sequences]
+
     # -- full-profile stages over a staged database -----------------------
     def scan_p7(self, p7, staged: StagedDatabase, stage: str = "viterbi") -> jax.Array:
         """Viterbi/Forward scores of every staged sequence -> f32 [B].
@@ -389,11 +424,16 @@ class SearchPipeline:
         msv_p: float = 0.02,
         viterbi_p: float = 1e-3,
         forward_p: float = 1e-5,
+        fast_msv: bool = False,
     ):
         self.scanner = scanner or MSVScanner()
         self.msv_p = msv_p
         self.viterbi_p = viterbi_p
         self.forward_p = forward_p
+        # fast_msv: run the one-pass bf16 upper-bound prefilter first and
+        # exactly rescore only its survivors (no false negatives by
+        # construction — scan_filter docstring)
+        self.fast_msv = fast_msv
 
     def _p7_fns(self):
         """Viterbi/Forward implementations following the scanner backend
@@ -410,7 +450,17 @@ class SearchPipeline:
 
         b = staged.num_sequences
         msv_profile = MSVProfile.from_profile(hmm)
-        msv_scores = np.asarray(self.scanner.scan(msv_profile, staged))
+        if self.fast_msv and self.scanner.backend == "pallas":
+            # upper-bound prefilter, then exact rescore of candidates:
+            # a sequence the filter rejects is exactly rejected too
+            msv_scores = np.asarray(self.scanner.scan_filter(msv_profile, staged))
+            cand = np.flatnonzero(stats.msv_pvalue(msv_scores, hmm) <= self.msv_p)
+            if cand.size:
+                l_max = max(int(lengths[cand].max()), 1)
+                sub = self.scanner.stage(tokens[cand, :l_max], lengths[cand])
+                msv_scores[cand] = np.asarray(self.scanner.scan(msv_profile, sub))
+        else:
+            msv_scores = np.asarray(self.scanner.scan(msv_profile, staged))
         msv_pv = stats.msv_pvalue(msv_scores, hmm)
         passed_msv = msv_pv <= self.msv_p
 

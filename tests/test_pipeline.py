@@ -118,3 +118,44 @@ def test_scan_p7_staged_matches_oracle(scanner, profile_dir):
     np.testing.assert_allclose(
         got_f, forward_oracle_batch(p7, tokens, lengths), atol=2e-3, rtol=0
     )
+
+
+def test_filter_scan_upper_bound(profile_dir):
+    """Filter scores must dominate exact scores (no false negatives)
+    while staying within ~1 nat on realistic lengths."""
+    sc = MSVScanner(backend="pallas", interpret=True, l_chunk=64)
+    rng = np.random.default_rng(14)
+    lengths = np.array([128, 40, 1, 96], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(len(lengths), 128)).astype(np.int32)
+    staged = sc.stage(tokens, lengths)
+    for stem in ("100", "300"):
+        profile = MSVProfile.from_profile(parse_hmm(profile_dir / f"{stem}.hmm"))
+        exact = np.asarray(sc.scan(profile, staged))
+        approx = np.asarray(sc.scan_filter(profile, staged))
+        assert np.all(approx >= exact - 1e-6), (approx, exact)
+        assert np.all(approx - exact < 1.0)
+
+
+def test_fast_msv_cascade_same_hits(profile_dir, fasta_dir):
+    """fast_msv cascade must produce identical pass sets and identical
+    exact scores for everything past the filter."""
+    from hmm_fasta_viterbi_tpu import parse_hmm as ph
+    from hmm_fasta_viterbi_tpu.io.hmmio import parse_hmm as _
+    from hmm_fasta_viterbi_tpu.pipeline import SearchPipeline
+
+    hmm = ph(profile_dir / "100.hmm")
+    rng = np.random.default_rng(15)
+    lengths = np.array([80, 33, 128, 5], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(len(lengths), 128)).astype(np.int32)
+    sc = MSVScanner(backend="pallas", interpret=True, l_chunk=64)
+    staged = sc.stage(tokens, lengths)
+    slow = SearchPipeline(sc, msv_p=0.9).search(hmm, staged, tokens, lengths)
+    fast = SearchPipeline(sc, msv_p=0.9, fast_msv=True).search(
+        hmm, staged, tokens, lengths
+    )
+    np.testing.assert_array_equal(slow.passed_msv, fast.passed_msv)
+    np.testing.assert_array_equal(slow.passed_forward, fast.passed_forward)
+    idx = np.flatnonzero(slow.passed_msv)
+    np.testing.assert_allclose(
+        slow.msv_scores[idx], fast.msv_scores[idx], atol=1e-4, rtol=0
+    )
