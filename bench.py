@@ -71,12 +71,12 @@ def main() -> int:
     ap.add_argument("--sweep", action="store_true", help="also run the 24-profile sweep")
     ap.add_argument("--e2e", action="store_true", help="also time cold end-to-end scans")
     ap.add_argument(
-        "--stages", action="store_true",
-        help="also time the Viterbi/Forward stage kernels (batch/8)",
+        "--no-stages", dest="stages", action="store_false", default=True,
+        help="skip the Viterbi/Forward stage kernel timings (batch/8)",
     )
     ap.add_argument(
-        "--filter", action="store_true",
-        help="also time the upper-bound bf16 MSV prefilter",
+        "--no-filter", dest="filter", action="store_false", default=True,
+        help="skip the upper-bound bf16 MSV prefilter timing",
     )
     args = ap.parse_args()
 
