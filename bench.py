@@ -64,7 +64,7 @@ class _P7StageScanner:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
-    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--seq-len", type=int, default=3500)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--quick", action="store_true", help="small batch smoke run")
