@@ -210,12 +210,14 @@ def msv_pallas_call(
     assert twenty == 20 and b_pad % LANES == 0 and l_pad % l_chunk == 0
     assert m_pad % 8 == 0
     # unrolling keeps several [M_pad, 128] panels live; scale it down for
-    # very large models so the kernel stays inside the ~16 MB VMEM budget
-    # (unroll 32 measured fine through m_pad 2432, the data's maximum)
+    # large models to bound VMEM (unroll 32 measured through m_pad 2432,
+    # the data's maximum; beyond that is extrapolated conservatively)
     if m_pad > 4096:
         unroll = min(unroll, 4)
         if l_pad % 256 == 0:
             l_chunk = min(l_chunk, 256)
+    elif m_pad > 2432:
+        unroll = min(unroll, 16)
     while l_chunk % unroll:
         unroll //= 2
     num_b = b_pad // LANES

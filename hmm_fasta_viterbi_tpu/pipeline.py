@@ -373,6 +373,8 @@ class BucketedDatabase:
     @property
     def padded_cells_saved(self) -> float:
         """Fraction of padded residues avoided vs single-bucket staging."""
+        if not self.buckets:
+            return 0.0
         per_bucket = sum(
             s.tokens_i8_t.shape[0] * s.num_sequences for s in self.buckets
         )
@@ -453,7 +455,8 @@ class SearchPipeline:
         if self.fast_msv and self.scanner.backend == "pallas":
             # upper-bound prefilter, then exact rescore of candidates:
             # a sequence the filter rejects is exactly rejected too
-            msv_scores = np.asarray(self.scanner.scan_filter(msv_profile, staged))
+            # (copy: np.asarray of a jax.Array is a read-only view)
+            msv_scores = np.array(self.scanner.scan_filter(msv_profile, staged))
             cand = np.flatnonzero(stats.msv_pvalue(msv_scores, hmm) <= self.msv_p)
             if cand.size:
                 l_max = max(int(lengths[cand].max()), 1)

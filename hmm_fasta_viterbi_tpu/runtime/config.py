@@ -17,11 +17,11 @@ from typing import Literal
 
 @dataclasses.dataclass
 class EngineConfig:
-    # compute
+    # compute (defaults track the kernel-lab-tuned values in ops.pallas_msv;
+    # the kernels' step unroll is VMEM-adaptive and not a config knob)
     backend: Literal["auto", "pallas", "xla"] = "auto"
-    l_chunk: int = 512
+    l_chunk: int = 256
     m_bucket: int = 256
-    unroll: int = 4
     # data loading
     loader: Literal["auto", "native", "python"] = "auto"
     # mesh (multi-chip)

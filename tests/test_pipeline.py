@@ -149,13 +149,17 @@ def test_fast_msv_cascade_same_hits(profile_dir, fasta_dir):
     tokens = rng.integers(0, 20, size=(len(lengths), 128)).astype(np.int32)
     sc = MSVScanner(backend="pallas", interpret=True, l_chunk=64)
     staged = sc.stage(tokens, lengths)
-    slow = SearchPipeline(sc, msv_p=0.9).search(hmm, staged, tokens, lengths)
-    fast = SearchPipeline(sc, msv_p=0.9, fast_msv=True).search(
+    # msv_p=1.0 forces every sequence through the exact-rescore path —
+    # random sequences rarely pass real thresholds, which would leave
+    # the rescore (and its score writeback) untested
+    slow = SearchPipeline(sc, msv_p=1.0).search(hmm, staged, tokens, lengths)
+    fast = SearchPipeline(sc, msv_p=1.0, fast_msv=True).search(
         hmm, staged, tokens, lengths
     )
+    idx = np.flatnonzero(slow.passed_msv)
+    assert idx.size == len(lengths)  # the rescore path must actually run
     np.testing.assert_array_equal(slow.passed_msv, fast.passed_msv)
     np.testing.assert_array_equal(slow.passed_forward, fast.passed_forward)
-    idx = np.flatnonzero(slow.passed_msv)
     np.testing.assert_allclose(
         slow.msv_scores[idx], fast.msv_scores[idx], atol=1e-4, rtol=0
     )
