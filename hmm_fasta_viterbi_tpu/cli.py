@@ -197,6 +197,25 @@ def cmd_sweep(args) -> int:
     db = load_fasta(args.fasta, prefer=args.loader)
     scanner = _make_scanner(args)
     staged = scanner.stage_fasta(db)
+    if getattr(args, "stage", "msv") == "search":
+        # hmmscan-shaped sweep: the full cascade per profile against the
+        # one staged database (optionally with the bf16 MSV prefilter)
+        from .pipeline import SearchPipeline
+
+        tokens, lengths = db.encode()
+        pipeline = SearchPipeline(scanner, fast_msv=getattr(args, "fast", False))
+        for path in paths:
+            hmm = load_profile(path, prefer=args.loader)
+            result = pipeline.search(hmm, staged, tokens, lengths)
+            logger.info(
+                "search %s: %d past MSV -> %d past Viterbi -> %d hits",
+                hmm.name,
+                int(result.passed_msv.sum()),
+                int(result.passed_viterbi.sum()),
+                int(result.passed_forward.sum()),
+            )
+            _report_search(hmm, db, result, args)
+        return 0
     for path in paths:
         profile = MSVProfile.from_profile(load_profile(path, prefer=args.loader))
         scores = np.asarray(scanner.scan(profile, staged))
@@ -244,6 +263,17 @@ def build_parser() -> argparse.ArgumentParser:
 
     sweep = sub.add_parser("sweep", help="scan a FASTA database against a profile directory")
     sweep.add_argument("--hmm-dir", required=True)
+    sweep.add_argument(
+        "--stage",
+        default="msv",
+        choices=["msv", "search"],
+        help="msv scores per profile, or the full cascade (hmmscan-shaped)",
+    )
+    sweep.add_argument(
+        "--fast",
+        action="store_true",
+        help="search stage: bf16 upper-bound MSV prefilter + exact rescore",
+    )
     _add_common(sweep)
     sweep.set_defaults(fn=cmd_sweep)
 

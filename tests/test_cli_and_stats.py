@@ -92,3 +92,26 @@ def test_cli_empty_db_errors(tmp_path, profile_dir):
     fasta.write_text(">only\nXXXX\n")  # rejected -> empty db
     rc = main(["scan", "--hmm", str(profile_dir / "100.hmm"), "--fasta", str(fasta)])
     assert rc == 1
+
+
+def test_cli_sweep_search_cascade(tmp_path, profile_dir, fasta_dir, capsys):
+    """hmmscan-shaped sweep: full cascade per profile, one staged DB."""
+    import shutil
+
+    hmm_dir = tmp_path / "profiles"
+    hmm_dir.mkdir()
+    for stem in ("100", "200"):
+        shutil.copy(profile_dir / f"{stem}.hmm", hmm_dir)
+    rc = main(
+        [
+            "sweep",
+            "--stage", "search",
+            "--fast",
+            "--hmm-dir", str(hmm_dir),
+            "--fasta", str(fasta_dir / "fasta_like_example.fsa"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    # one header block per profile
+    assert out.count("# target\tprofile\tmsv_bits") == 2
