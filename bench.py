@@ -40,6 +40,41 @@ from hmm_fasta_viterbi_tpu.bench.harness import (  # noqa: E402
 from hmm_fasta_viterbi_tpu.pipeline import MSVScanner  # noqa: E402
 
 
+def stage_random_device(scanner: MSVScanner, batch: int, seq_len: int):
+    """Uniform random tokens generated on device (the reference
+    generator's distribution, FASTA_files/random_FASTA_generator.py),
+    staged without any host->device transfer."""
+    import jax
+    import jax.numpy as jnp
+
+    def r(x, m):
+        return -(-x // m) * m
+
+    b_pad = r(batch, 128)
+    l_pad = r(seq_len, scanner.l_chunk)
+    tok = jax.random.randint(
+        jax.random.PRNGKey(0), (l_pad, b_pad), 0, 20, dtype=jnp.int32
+    ).astype(jnp.int8)
+    lengths = np.zeros(b_pad, dtype=np.int32)
+    lengths[:batch] = seq_len
+    if l_pad > seq_len:
+        # zero out pad steps so lengths masking is the only guard in play
+        tok = tok.at[seq_len:].set(0)
+    return scanner.stage_device(tok, lengths, num_sequences=batch)
+
+
+def _substage(scanner: MSVScanner, staged, tokens, lengths, sb: int):
+    """Stage the first sb sequences, reusing device data when possible."""
+    if tokens is not None:
+        return scanner.stage(tokens[:sb], lengths[:sb])
+    sb_pad = -(-sb // 128) * 128
+    return scanner.stage_device(
+        staged.tokens_i8_t[:, :sb_pad],
+        np.asarray(staged.lengths)[:sb_pad],
+        num_sequences=sb,
+    )
+
+
 class _FilterScanner:
     """Adapter: bench_staged -> MSVScanner.scan_filter."""
 
@@ -91,8 +126,14 @@ def main() -> int:
     print(f"# impl={scanner.backend} batch={args.batch} L={args.seq_len}", file=sys.stderr)
 
     profile_dir = REPO / "data" / "profile_HMMs"
-    tokens, lengths = random_tokens(args.batch, args.seq_len, seed=0)
-    staged = scanner.stage(tokens, lengths)
+    if scanner.backend == "pallas" and not args.e2e:
+        # generate the random corpus ON DEVICE: uploading a 57 MB batch
+        # through the remote-TPU tunnel costs ~75 s of bench wall time
+        staged = stage_random_device(scanner, args.batch, args.seq_len)
+        tokens = lengths = None
+    else:
+        tokens, lengths = random_tokens(args.batch, args.seq_len, seed=0)
+        staged = scanner.stage(tokens, lengths)
 
     headline_profile = MSVProfile.from_profile(parse_hmm(profile_dir / "1400.hmm"))
     primary = bench_staged(
@@ -108,7 +149,7 @@ def main() -> int:
         # database already amortizes dispatch while keeping cold compile
         # + run time modest
         sb = min(args.batch, 4096)
-        sweep_staged = scanner.stage(tokens[:sb], lengths[:sb])
+        sweep_staged = _substage(scanner, staged, tokens, lengths, sb)
         profiles = [
             MSVProfile.from_profile(parse_hmm(path))
             for path in sorted(profile_dir.glob("*.hmm"), key=lambda p: int(p.stem))
@@ -161,8 +202,7 @@ def main() -> int:
 
         p7 = P7Profile.from_profile(parse_hmm(profile_dir / "1400.hmm"))
         sb = max(128, args.batch // 8)
-        s_tokens, s_lengths = tokens[:sb], lengths[:sb]
-        s_staged = scanner.stage(s_tokens, s_lengths)
+        s_staged = _substage(scanner, staged, tokens, lengths, sb)
         for nm in ("viterbi", "forward"):
             r = bench_staged(
                 f"{nm}_1400_{scanner.backend}",

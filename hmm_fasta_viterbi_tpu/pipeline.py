@@ -118,6 +118,30 @@ class MSVScanner:
         tokens, lengths = db.encode()
         return self.stage(tokens, lengths)
 
+    def stage_device(
+        self, tokens_i8_t: jax.Array, lengths: np.ndarray, num_sequences: int | None = None
+    ) -> StagedDatabase:
+        """Stage an ALREADY-ON-DEVICE token block (no host upload).
+
+        ``tokens_i8_t`` is int8 [L_pad, B_pad] in the kernel layout with
+        L_pad % l_chunk == 0 and B_pad % 128 == 0; ``lengths`` is the
+        host-side [B_pad] array. Used by the benchmark (device-generated
+        corpora: the remote-tunnel upload of a 57 MB batch costs ~75 s)
+        and by callers slicing an existing staged database.
+        """
+        l_pad, b_pad = tokens_i8_t.shape
+        assert b_pad % pallas_msv.LANES == 0 and l_pad % self.l_chunk == 0
+        lengths_p = np.asarray(lengths, dtype=np.int32)
+        assert lengths_p.shape == (b_pad,)
+        tr_loop, tr_move = length_transitions(lengths_p)
+        return StagedDatabase(
+            tokens_i8_t=tokens_i8_t,
+            tokens=tokens_i8_t.T.astype(jnp.int32),
+            lengths=jnp.asarray(lengths_p),
+            tr_rows=jnp.asarray(np.stack([tr_loop, tr_move]).astype(np.float32)),
+            num_sequences=num_sequences if num_sequences is not None else b_pad,
+        )
+
     def stage_bucketed(
         self,
         tokens: np.ndarray,
