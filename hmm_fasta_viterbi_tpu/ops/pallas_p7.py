@@ -157,9 +157,7 @@ def _p7_kernel(
     s0 = s_out_ref[:, :]
 
     aa_iota = jax.lax.broadcasted_iota(jnp.int32, (20, lanes), 0)
-    row0_mask = jax.lax.broadcasted_iota(jnp.int32, (m_pad, lanes), 0) == 0
     base = l_idx * chunk_len
-    neg = jnp.float32(NEG_INF)
 
     def one_step(t, m, i_st, d, j_st, c_st, n_st, b_st):
         tok = tokens_ref[pl.ds(t, 1), :]
@@ -168,14 +166,18 @@ def _p7_kernel(
         is_ = _select3(isc_parts, onehot)
 
         # M: combine of {B entry, M/I/D diagonal}; the three j-1 shifts
-        # share one roll by combining before rolling
+        # share one roll by combining before rolling. No row0 mask is
+        # needed: the LAST row of the rolled operand is always -inf —
+        # kill_last forces tmm/tim/tdm/tmd[mr-1] = -inf (models/p7.py),
+        # and pad rows carry -inf transitions — so the wrap-around row
+        # arrives as the max identity by construction.
         diag_stay = combine(combine(m + tmm, i_st + tim), d + tdm)
-        diag = jnp.where(row0_mask, neg, pltpu.roll(diag_stay, shift=1, axis=0))
+        diag = pltpu.roll(diag_stay, shift=1, axis=0)
         new_m = ms + combine(diag, b_st + tr_b_mk)
         # I: vertical within node
         new_i = is_ + combine(m + tmi, i_st + tii)
         # D: same-row affine chain (see module docstring)
-        a0 = jnp.where(row0_mask, neg, pltpu.roll(new_m + tmd, shift=1, axis=0))
+        a0 = pltpu.roll(new_m + tmd, shift=1, axis=0)
         new_d = delete_chain(a0)
         # E: local exit from every M and D (score 0)
         e_st = reduce0(combine(new_m, new_d))
@@ -408,9 +410,7 @@ def _fwd_prob_kernel(
     s0 = s_out_ref[:, :]
 
     aa_iota = jax.lax.broadcasted_iota(jnp.int32, (20, lanes), 0)
-    row0_mask = jax.lax.broadcasted_iota(jnp.int32, (m_pad, lanes), 0) == 0
     base = l_idx * chunk_len
-    zero = jnp.float32(0.0)
 
     def delete_chain(a):
         for k in range(n_passes):
@@ -424,11 +424,14 @@ def _fwd_prob_kernel(
         ms = _select3(modds_parts, onehot)
         is_ = _select3(iodds_parts, onehot)
 
+        # no row0 masks: kill_last makes the last transition probability
+        # 0 (exp(-inf)) and pad rows are all-zero, so the wrapped roll
+        # row arrives as the additive identity by construction
         diag_stay = m * tmm + i_st * tim + d * tdm
-        diag = jnp.where(row0_mask, zero, pltpu.roll(diag_stay, shift=1, axis=0))
+        diag = pltpu.roll(diag_stay, shift=1, axis=0)
         new_m = ms * (diag + b_st * p_b_mk)
         new_i = is_ * (m * tmi + i_st * tii)
-        a0 = jnp.where(row0_mask, zero, pltpu.roll(new_m * tmd, shift=1, axis=0))
+        a0 = pltpu.roll(new_m * tmd, shift=1, axis=0)
         new_d = delete_chain(a0)
         e_st = jnp.sum(new_m + new_d, axis=0, keepdims=True)
         new_j = j_st * p_loop + e_st * p_e_j

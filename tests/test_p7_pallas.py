@@ -105,3 +105,15 @@ def test_forward_prob_space_long_sequence(p7_100):
         forward_pallas(p7_100, tokens, lengths, interpret=True, prob_space=True)
     )
     np.testing.assert_allclose(got, want, atol=FWD_TOL, rtol=0)
+
+
+def test_forward_prob_space_mini_profile():
+    """Tiny profile (mr=2, m_pad=8): wrap-around rows and pad rows are
+    exercised hard; kill_last zeros must keep the chain identity."""
+    p7 = P7Profile.from_profile(parse_hmm_text(MINI_HMM))
+    tokens, lengths = _ragged(seed=8, n=4, width=32)
+    want = forward_oracle_batch(p7, tokens, lengths)
+    got = np.asarray(
+        forward_pallas(p7, tokens, lengths, interpret=True, prob_space=True)
+    )
+    np.testing.assert_allclose(got, want, atol=FWD_TOL, rtol=0)
