@@ -137,6 +137,163 @@ def make_seqblock_scanner(mesh: Mesh, unroll: int = 4, group: int = 8):
     return jax.jit(mapped)
 
 
+def _wavefront_pallas(
+    scores_t, tr_consts, tokens_t, lengths, tr_rows, l_chunk, interpret,
+):
+    """Per-device body: the Pallas MSV kernel as the block scanner.
+
+    Layout is the staged pipeline layout — tokens [Lblk, B_local] int8
+    (residue block on this device, 128-lane row-groups), DP carry
+    [M_pad, 128] + specials [4, 128] hopping p -> p+1 over ICI. This is
+    the production sp-axis path: the lax.scan wavefront (above) stays as
+    the CPU-portable reference, while each block here runs at the
+    kernel's full single-chip rate.
+    """
+    from ..ops.pallas_msv import LANES, msv_pallas_call
+
+    sp_size = jax.lax.axis_size(SP_AXIS)
+    p = jax.lax.axis_index(SP_AXIS)
+    block_len, b_local = tokens_t.shape
+    m_pad = scores_t.shape[1]
+    num_groups = b_local // LANES
+    neg = jnp.float32(NEG_INF)
+
+    # the kernel masks with block-LOCAL step indices; shift lengths so
+    # local_t < lengths - p*Lblk  <=>  global residue index < length
+    local_lengths = jnp.clip(lengths - p * block_len, 0, block_len).astype(jnp.int32)
+
+    def fresh_state(tr_move_g):
+        m = jnp.full((m_pad, LANES), neg, dtype=jnp.float32)
+        s = jnp.stack(
+            [
+                jnp.full((LANES,), neg, dtype=jnp.float32),  # J
+                jnp.full((LANES,), neg, dtype=jnp.float32),  # C
+                jnp.zeros((LANES,), dtype=jnp.float32),  # N
+                tr_move_g,  # B = tr_move
+            ]
+        )
+        return m, s
+
+    def round_body(t, state):
+        carry_m, carry_s, out = state
+        g = t - p
+        valid = (g >= 0) & (g < num_groups)
+        g0 = jnp.clip(g, 0, num_groups - 1) * LANES
+
+        toks = jax.lax.dynamic_slice(tokens_t, (0, g0), (block_len, LANES))
+        lens_g = jax.lax.dynamic_slice(local_lengths, (g0,), (LANES,))
+        tr_rows_g = jax.lax.dynamic_slice(tr_rows, (0, g0), (2, LANES))
+
+        fresh_m, fresh_s = fresh_state(tr_rows_g[1])
+        m_in = jnp.where(p == 0, fresh_m, carry_m)
+        s_in = jnp.where(p == 0, fresh_s, carry_s)
+
+        score, m_out, s_out = msv_pallas_call(
+            scores_t,
+            toks.astype(jnp.int32),
+            lens_g,
+            tr_rows_g,
+            tr_consts,
+            m_in,
+            s_in,
+            l_chunk=min(l_chunk, block_len),
+            interpret=interpret,
+        )
+        # masked rounds must not corrupt the in-flight carry
+        m_out = jnp.where(valid, m_out, carry_m)
+        s_out = jnp.where(valid, s_out, carry_s)
+
+        emit = (p == sp_size - 1) & valid
+        cur = jax.lax.dynamic_slice(out, (g0,), (LANES,))
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(emit, score[0], cur), (g0,)
+        )
+
+        perm = [(i, (i + 1) % sp_size) for i in range(sp_size)]
+        carry_m = jax.lax.ppermute(m_out, SP_AXIS, perm)
+        carry_s = jax.lax.ppermute(s_out, SP_AXIS, perm)
+        return carry_m, carry_s, out
+
+    m0 = jnp.full((m_pad, LANES), neg, dtype=jnp.float32)
+    s0 = jnp.zeros((4, LANES), dtype=jnp.float32)
+    out0 = jnp.zeros((b_local,), dtype=jnp.float32)
+    num_rounds = sp_size + num_groups - 1
+    _, _, out = jax.lax.fori_loop(0, num_rounds, round_body, (m0, s0, out0))
+    return jax.lax.psum(out, SP_AXIS)
+
+
+def make_seqblock_scanner_pallas(
+    mesh: Mesh, l_chunk: int = 256, interpret: bool = False
+):
+    """Jitted (db, sp)-sharded scan with the Pallas kernel per block.
+
+    fn(scores_t [1, M_pad, 20], tr_consts [1, 3],
+       tokens_i8_t [L_pad, B_pad], lengths [B_pad], tr_rows [2, B_pad])
+    -> scores [B_pad]; L_pad divides sp * l_chunk, B_pad divides db * 128.
+    """
+    fn = functools.partial(
+        _wavefront_pallas, l_chunk=l_chunk, interpret=interpret
+    )
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(
+            P(),  # scores_t (replicated)
+            P(),  # tr_consts
+            P(SP_AXIS, DB_AXIS),  # tokens: residue blocks x batch shards
+            P(DB_AXIS),  # lengths
+            P(None, DB_AXIS),  # tr_rows
+        ),
+        out_specs=P(DB_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def msv_scan_seqblocks_pallas(
+    profile: MSVProfile,
+    tokens: np.ndarray,
+    lengths: np.ndarray,
+    mesh: Mesh,
+    l_chunk: int = 256,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Pallas-kernel wavefront scan (see make_seqblock_scanner_pallas)."""
+    from ..ops.pallas_msv import LANES, prepare_scores_t
+
+    num_db = mesh.shape[DB_AXIS]
+    num_sp = mesh.shape[SP_AXIS]
+    tokens = np.asarray(tokens, dtype=np.int32)
+    lengths = np.asarray(lengths, dtype=np.int32)
+    b, seq_len = tokens.shape
+
+    lane_block = num_db * LANES
+    pad_b = -(-b // lane_block) * lane_block
+    l_chunk = min(l_chunk, -(-seq_len // (num_sp * 32)) * 32)
+    block = num_sp * l_chunk
+    pad_l = -(-seq_len // block) * block
+    tokens_t = np.zeros((pad_l, pad_b), dtype=np.int8)
+    tokens_t[:seq_len, :b] = tokens.T
+    lengths_p = np.zeros(pad_b, dtype=np.int32)
+    lengths_p[:b] = lengths
+    tr_loop, tr_move = length_transitions(lengths_p)
+    tr_rows = np.stack([tr_loop, tr_move]).astype(np.float32)
+
+    scores_t = prepare_scores_t(profile)[None]
+    tr_consts = np.array(
+        [[profile.tr_B_Mk, profile.tr_E_C, profile.tr_E_J]], dtype=np.float32
+    )
+    scanner = make_seqblock_scanner_pallas(mesh, l_chunk=l_chunk, interpret=interpret)
+    out = scanner(
+        jnp.asarray(scores_t),
+        jnp.asarray(tr_consts),
+        jnp.asarray(tokens_t),
+        jnp.asarray(lengths_p),
+        jnp.asarray(tr_rows),
+    )
+    return np.asarray(out)[:b]
+
+
 def msv_scan_seqblocks(
     profile: MSVProfile,
     tokens: np.ndarray,

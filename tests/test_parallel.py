@@ -128,3 +128,33 @@ def test_sharded_pallas_db_scan(profile, batch):
     )[:b]
     want = msv_oracle_batch(profile, tokens, lengths)
     np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
+
+
+def test_seqblock_pallas_wavefront(profile):
+    """Pallas-kernel wavefront: db x sp mesh, ragged lengths crossing
+    block boundaries, scores exact vs the oracle."""
+    from hmm_fasta_viterbi_tpu.parallel.seqblocks import msv_scan_seqblocks_pallas
+
+    rng = np.random.default_rng(21)
+    lengths = np.array([300, 1, 170, 64, 299], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(len(lengths), 300)).astype(np.int32)
+    mesh = make_scan_mesh(db=2, sp=4)
+    got = msv_scan_seqblocks_pallas(
+        profile, tokens, lengths, mesh, l_chunk=32, interpret=True
+    )
+    want = msv_oracle_batch(profile, tokens, lengths)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
+
+
+def test_seqblock_pallas_pure_sp(profile):
+    from hmm_fasta_viterbi_tpu.parallel.seqblocks import msv_scan_seqblocks_pallas
+
+    rng = np.random.default_rng(22)
+    lengths = np.array([256, 100], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(2, 256)).astype(np.int32)
+    mesh = make_scan_mesh(db=1, sp=8)
+    got = msv_scan_seqblocks_pallas(
+        profile, tokens, lengths, mesh, l_chunk=32, interpret=True
+    )
+    want = msv_oracle_batch(profile, tokens, lengths)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
