@@ -182,6 +182,30 @@ def main() -> int:
             f"{sweep_cells/1e9:.1f} GCells in {best*1e3:.0f} ms",
             file=sys.stderr,
         )
+        if scanner.backend == "pallas":
+            scanner.scan_many(profiles, sweep_staged, mode="filter")
+            fbest = float("inf")
+            for _ in range(max(args.reps, 2)):
+                t0 = _time.perf_counter()
+                scanner.scan_many(profiles, sweep_staged, mode="filter")
+                fbest = min(fbest, _time.perf_counter() - t0)
+            extras.append(
+                BenchResult(
+                    name=f"sweep24_filter_{scanner.backend}",
+                    gcups=sweep_cells / fbest / 1e9,
+                    seconds=fbest,
+                    cells=sweep_cells,
+                    batch=sweep_staged.num_sequences,
+                    seq_len=args.seq_len,
+                    model_length=0,
+                    repetitions=max(args.reps, 2),
+                )
+            )
+            print(
+                f"# sweep24-filter: {sweep_cells/fbest/1e9:.2f} GCUPS "
+                f"in {fbest*1e3:.0f} ms",
+                file=sys.stderr,
+            )
 
     if args.filter and scanner.backend == "pallas":
         r = bench_staged(

@@ -321,28 +321,35 @@ class MSVScanner:
         return out[: staged.num_sequences]
 
     def scan_many(
-        self, profiles: list[MSVProfile], staged: StagedDatabase
+        self,
+        profiles: list[MSVProfile],
+        staged: StagedDatabase,
+        mode: str = "exact",
     ) -> dict[str, np.ndarray]:
         """Sweep: scan the staged database against many profiles.
 
         On the pallas backend, profiles are grouped by padded-M bucket
         and each bucket runs as ONE stacked kernel call (grid dimension
         over profiles) — the 24-profile reference sweep costs a handful
-        of device round trips instead of 24.
+        of device round trips instead of 24. ``mode="filter"`` runs the
+        one-pass bf16 upper-bound kernel instead (scan_filter semantics:
+        every score >= its exact value).
         """
+        assert mode in ("exact", "filter")
         if self.backend != "pallas":
             return {p.name: np.asarray(self.scan(p, staged)) for p in profiles}
+        filt = mode == "filter"
 
         buckets: dict[int, list[MSVProfile]] = {}
         for p in profiles:
-            m_pad = _round_up(p.num_states, self.m_bucket)
+            # +1 in filter mode guarantees a pad row (skip_row0_guard)
+            m_pad = _round_up(p.num_states + (1 if filt else 0), self.m_bucket)
             buckets.setdefault(m_pad, []).append(p)
 
+        prep = pallas_msv.prepare_scores_t_filter if filt else pallas_msv.prepare_scores_t
         results: dict[str, np.ndarray] = {}
         for m_pad, group in sorted(buckets.items()):
-            scores_t = np.stack(
-                [pallas_msv.prepare_scores_t(p, m_pad) for p in group]
-            )
+            scores_t = np.stack([prep(p, m_pad) for p in group])
             tr_consts = np.array(
                 [[p.tr_B_Mk, p.tr_E_C, p.tr_E_J] for p in group], dtype=np.float32
             )
@@ -355,6 +362,8 @@ class MSVScanner:
                     jnp.asarray(tr_consts),
                     l_chunk=self.l_chunk,
                     interpret=self.interpret,
+                    exact=not filt,
+                    skip_row0_guard=filt,
                 )
             )[:, : staged.num_sequences]
             for p, scores in zip(group, out):

@@ -163,3 +163,22 @@ def test_fast_msv_cascade_same_hits(profile_dir, fasta_dir):
     np.testing.assert_allclose(
         slow.msv_scores[idx], fast.msv_scores[idx], atol=1e-4, rtol=0
     )
+
+
+def test_scan_many_filter_mode_upper_bound(scanner, profile_dir):
+    """Stacked filter sweep dominates the exact sweep per profile."""
+    if scanner.backend != "pallas":
+        return
+    rng = np.random.default_rng(16)
+    lengths = np.array([96, 40, 1, 64], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(len(lengths), 96)).astype(np.int32)
+    staged = scanner.stage(tokens, lengths)
+    profiles = [
+        MSVProfile.from_profile(parse_hmm(profile_dir / f"{s}.hmm"))
+        for s in ("100", "200")
+    ]
+    exact = scanner.scan_many(profiles, staged)
+    approx = scanner.scan_many(profiles, staged, mode="filter")
+    for p in profiles:
+        assert np.all(approx[p.name] >= exact[p.name] - 1e-6)
+        assert np.all(approx[p.name] - exact[p.name] < 1.0)
