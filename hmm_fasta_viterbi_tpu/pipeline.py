@@ -45,10 +45,19 @@ class StagedDatabase:
     """Device-resident encoded sequence database."""
 
     tokens_i8_t: jax.Array  # [L_pad, B_pad] int8 (pallas layout)
-    tokens: jax.Array  # [B_pad, L_pad] int32 (xla layout; lazy)
     lengths: jax.Array  # [B_pad] int32
     tr_rows: jax.Array  # [2, B_pad] f32
     num_sequences: int  # true B before padding
+    _tokens32: jax.Array | None = dataclasses.field(default=None, repr=False)
+
+    @property
+    def tokens(self) -> jax.Array:
+        """[B_pad, L_pad] int32 (xla-path layout), built lazily — the
+        pallas path never pays the widened transpose (4x HBM + an eager
+        op dispatch per staging)."""
+        if self._tokens32 is None:
+            self._tokens32 = self.tokens_i8_t.T.astype(jnp.int32)
+        return self._tokens32
 
     @property
     def total_residues(self) -> int:
@@ -105,10 +114,8 @@ class MSVScanner:
         lengths_p[:b] = lengths
         tr_loop, tr_move = length_transitions(lengths_p)
 
-        tokens_i8_t = jnp.asarray(tok_t)
         return StagedDatabase(
-            tokens_i8_t=tokens_i8_t,
-            tokens=tokens_i8_t.T.astype(jnp.int32),
+            tokens_i8_t=jnp.asarray(tok_t),
             lengths=jnp.asarray(lengths_p),
             tr_rows=jnp.asarray(np.stack([tr_loop, tr_move]).astype(np.float32)),
             num_sequences=b,
@@ -136,7 +143,6 @@ class MSVScanner:
         tr_loop, tr_move = length_transitions(lengths_p)
         return StagedDatabase(
             tokens_i8_t=tokens_i8_t,
-            tokens=tokens_i8_t.T.astype(jnp.int32),
             lengths=jnp.asarray(lengths_p),
             tr_rows=jnp.asarray(np.stack([tr_loop, tr_move]).astype(np.float32)),
             num_sequences=num_sequences if num_sequences is not None else b_pad,
