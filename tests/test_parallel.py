@@ -171,25 +171,33 @@ def test_multihost_two_process_smoke():
     import subprocess
     import sys as _sys
 
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-
     repo = pathlib.Path(__file__).resolve().parent.parent
     script = repo / "tools" / "multihost_smoke.py"
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # the smoke sets its own device count
-    procs = [
-        subprocess.Popen(
-            [_sys.executable, str(script), str(i), "2", str(port)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            env=env,
-            text=True,
+
+    def attempt():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, str(script), str(i), "2", str(port)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                env=env,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=240)[0] for p in procs]
+        ok = all(
+            p.returncode == 0 and "MULTIHOST_OK" in out
+            for p, out in zip(procs, outs)
         )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=240)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out[-2000:]
-        assert "MULTIHOST_OK" in out
+        return ok, outs
+
+    ok, outs = attempt()
+    if not ok:  # coordinator handshakes can race under load; retry once
+        ok, outs = attempt()
+    assert ok, outs[0][-2000:] + outs[1][-2000:]
