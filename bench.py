@@ -4,9 +4,11 @@
 Headline: GCUPS scanning the reference's flagship workload — the
 1400-state profile (algorithms/benchmark_MSV_1400.cpp) against 3500-aa
 random sequences — batched for TPU, database staged on device (the
-reference sweep shape: one FASTA x many profiles). ``--sweep`` adds the
-24-profile sweep (algorithms/benchmark_MSV.cpp equivalent); ``--e2e``
-also reports cold end-to-end (host encode + upload + scan) numbers.
+reference sweep shape: one FASTA x many profiles). The 24-profile sweep
+(algorithms/benchmark_MSV.cpp equivalent), the bf16 prefilter, and the
+Viterbi/Forward stage kernels run by default (--no-sweep / --no-filter /
+--no-stages to skip); ``--e2e`` adds cold end-to-end (host encode +
+upload + scan) numbers.
 
 vs_baseline uses BASELINE.md's derived anchor (the reference publishes no
 numbers): 1 GCUPS == one 14.7 ms reference benchmark pass.
@@ -37,7 +39,8 @@ from hmm_fasta_viterbi_tpu.bench.harness import (  # noqa: E402
     emit_json_line,
     random_tokens,
 )
-from hmm_fasta_viterbi_tpu.pipeline import MSVScanner  # noqa: E402
+from hmm_fasta_viterbi_tpu.pipeline import MSVScanner, _round_up  # noqa: E402
+from hmm_fasta_viterbi_tpu.ops.pallas_msv import LANES  # noqa: E402
 
 
 def stage_random_device(scanner: MSVScanner, batch: int, seq_len: int):
@@ -47,11 +50,8 @@ def stage_random_device(scanner: MSVScanner, batch: int, seq_len: int):
     import jax
     import jax.numpy as jnp
 
-    def r(x, m):
-        return -(-x // m) * m
-
-    b_pad = r(batch, 128)
-    l_pad = r(seq_len, scanner.l_chunk)
+    b_pad = _round_up(batch, LANES)
+    l_pad = _round_up(seq_len, scanner.l_chunk)
     tok = jax.random.randint(
         jax.random.PRNGKey(0), (l_pad, b_pad), 0, 20, dtype=jnp.int32
     ).astype(jnp.int8)
@@ -67,11 +67,11 @@ def _substage(scanner: MSVScanner, staged, tokens, lengths, sb: int):
     """Stage the first sb sequences, reusing device data when possible."""
     if tokens is not None:
         return scanner.stage(tokens[:sb], lengths[:sb])
-    sb_pad = -(-sb // 128) * 128
+    sb_pad = _round_up(sb, LANES)
     return scanner.stage_device(
         staged.tokens_i8_t[:, :sb_pad],
         np.asarray(staged.lengths)[:sb_pad],
-        num_sequences=sb,
+        num_sequences=min(sb, staged.num_sequences),
     )
 
 

@@ -196,13 +196,12 @@ def cmd_sweep(args) -> int:
         return 1
     db = load_fasta(args.fasta, prefer=args.loader)
     scanner = _make_scanner(args)
-    staged = scanner.stage_fasta(db)
+    tokens, lengths = db.encode()
+    staged = scanner.stage(tokens, lengths)
     if getattr(args, "stage", "msv") == "search":
         # hmmscan-shaped sweep: the full cascade per profile against the
         # one staged database (optionally with the bf16 MSV prefilter)
         from .pipeline import SearchPipeline
-
-        tokens, lengths = db.encode()
         pipeline = SearchPipeline(scanner, fast_msv=getattr(args, "fast", False))
         for path in paths:
             hmm = load_profile(path, prefer=args.loader)

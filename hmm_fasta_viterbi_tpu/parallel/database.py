@@ -75,6 +75,7 @@ def msv_scan_sharded(
     return np.asarray(scores)[:true_b]
 
 
+@functools.lru_cache(maxsize=32)
 def make_db_scanner(
     mesh: Mesh,
     l_chunk: int = 512,

@@ -119,8 +119,9 @@ def _wavefront(
     return jax.lax.psum(out, SP_AXIS)
 
 
+@functools.lru_cache(maxsize=32)
 def make_seqblock_scanner(mesh: Mesh, unroll: int = 4, group: int = 8):
-    """Build the jitted sharded scan fn for a (db, sp) mesh."""
+    """Build the jitted sharded scan fn for a (db, sp) mesh (cached)."""
     fn = functools.partial(_wavefront, unroll=unroll, group=group)
     mapped = jax.shard_map(
         fn,
@@ -222,6 +223,7 @@ def _wavefront_pallas(
     return jax.lax.psum(out, SP_AXIS)
 
 
+@functools.lru_cache(maxsize=32)
 def make_seqblock_scanner_pallas(
     mesh: Mesh, l_chunk: int = 256, interpret: bool = False
 ):
@@ -230,6 +232,8 @@ def make_seqblock_scanner_pallas(
     fn(scores_t [1, M_pad, 20], tr_consts [1, 3],
        tokens_i8_t [L_pad, B_pad], lengths [B_pad], tr_rows [2, B_pad])
     -> scores [B_pad]; L_pad divides sp * l_chunk, B_pad divides db * 128.
+    Cached per (mesh, l_chunk, interpret) so repeated scans reuse the
+    jitted executable instead of recompiling the wavefront.
     """
     fn = functools.partial(
         _wavefront_pallas, l_chunk=l_chunk, interpret=interpret

@@ -190,8 +190,16 @@ def test_multihost_two_process_smoke():
             )
             for i in range(2)
         ]
-        outs = [p.communicate(timeout=240)[0] for p in procs]
-        ok = all(
+        outs = []
+        ok = True
+        for p in procs:
+            try:
+                outs.append(p.communicate(timeout=240)[0])
+            except subprocess.TimeoutExpired:  # hung handshake: kill, retry
+                p.kill()
+                outs.append(p.communicate()[0] + "\n<timed out>")
+                ok = False
+        ok = ok and all(
             p.returncode == 0 and "MULTIHOST_OK" in out
             for p, out in zip(procs, outs)
         )

@@ -168,7 +168,7 @@ def test_fast_msv_cascade_same_hits(profile_dir, fasta_dir):
 def test_scan_many_filter_mode_upper_bound(scanner, profile_dir):
     """Stacked filter sweep dominates the exact sweep per profile."""
     if scanner.backend != "pallas":
-        return
+        pytest.skip("filter mode is pallas-only")
     rng = np.random.default_rng(16)
     lengths = np.array([96, 40, 1, 64], dtype=np.int32)
     tokens = rng.integers(0, 20, size=(len(lengths), 96)).astype(np.int32)
