@@ -115,3 +115,25 @@ def test_cli_sweep_search_cascade(tmp_path, profile_dir, fasta_dir, capsys):
     out = capsys.readouterr().out
     # one header block per profile
     assert out.count("# target\tprofile\tmsv_bits") == 2
+
+
+def test_pvalue_calibration_sanity(profile_dir):
+    """End-to-end statistical sanity: MSV P-values of random sequences
+    against a HMMER-calibrated profile must behave like (sub-)uniform
+    tail probabilities — not systematically significant."""
+    from hmm_fasta_viterbi_tpu import MSVProfile, parse_hmm
+    from hmm_fasta_viterbi_tpu.io.hmmio import parse_hmm as _ph
+    from hmm_fasta_viterbi_tpu.ops.xla_scan import msv_xla
+
+    hmm = parse_hmm(profile_dir / "100.hmm")
+    profile = MSVProfile.from_profile(hmm)
+    rng = np.random.default_rng(42)
+    n, L = 256, 250
+    tokens = rng.integers(0, 20, size=(n, L)).astype(np.int32)
+    lengths = np.full(n, L, dtype=np.int32)
+    scores = np.asarray(msv_xla(profile, tokens, lengths))
+    pv = stats.msv_pvalue(scores, hmm)
+    assert np.all((pv >= 0) & (pv <= 1))
+    # random (null-model) sequences: significance must be rare
+    assert (pv <= 0.02).mean() <= 0.15, pv.min()
+    assert np.median(pv) > 0.1

@@ -1,0 +1,82 @@
+"""Randomized differential fuzzing: synthetic profiles (beyond the 24
+checked-in Pfam files) through every device path vs the NumPy oracles.
+
+Profiles are drawn with adversarial emission ranges (near-zero
+probabilities -> scores approaching the clamp, spiky distributions) and
+transition rows that exercise the delete chain hard.
+"""
+
+import numpy as np
+import pytest
+
+from hmm_fasta_viterbi_tpu.io.hmmio import ProfileHMM
+from hmm_fasta_viterbi_tpu.models.msv import MSVProfile
+from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+from hmm_fasta_viterbi_tpu.ops.pallas_msv import msv_pallas
+from hmm_fasta_viterbi_tpu.ops.pallas_p7 import forward_pallas, viterbi_pallas
+from hmm_fasta_viterbi_tpu.ops.reference import (
+    forward_oracle_batch,
+    msv_oracle_batch,
+    viterbi_oracle_batch,
+)
+
+
+def random_profile(rng: np.random.Generator, leng: int) -> ProfileHMM:
+    m = leng + 1
+    # spiky Dirichlet-ish emissions with occasional near-zero entries
+    me = rng.dirichlet(np.full(20, 0.2), size=m).astype(np.float32)
+    me[0] = 0.0  # dummy M0 row
+    ie = rng.dirichlet(np.full(20, 1.0), size=m).astype(np.float32)
+    # transitions: random but normalized-ish triples; some heavy deletes
+    tr = rng.dirichlet(np.full(7, 0.5), size=m).astype(np.float32)
+    # push a few nodes toward delete-heavy behavior (big tdd)
+    heavy = rng.integers(0, m, size=max(1, m // 4))
+    tr[heavy, 6] = 0.95
+    return ProfileHMM(
+        name=f"fuzz{leng}",
+        model_length=m,
+        match_emissions=me,
+        insert_emissions=ie,
+        transitions=tr,
+        stats_local_msv_mu=-5.0,
+        stats_local_msv_lambda=0.7,
+        stats_local_viterbi_mu=-6.0,
+        stats_local_viterbi_lambda=0.7,
+        stats_local_forward_theta=-2.0,
+        stats_local_forward_lambda=0.7,
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_msv_pallas(seed):
+    rng = np.random.default_rng(100 + seed)
+    leng = int(rng.integers(3, 60))
+    hmm = random_profile(rng, leng)
+    profile = MSVProfile.from_profile(hmm)
+    lengths = rng.integers(0, 96, size=6).astype(np.int32)
+    tokens = rng.integers(0, 20, size=(6, 96)).astype(np.int32)
+    want = msv_oracle_batch(profile, tokens, lengths)
+    got = np.asarray(msv_pallas(profile, tokens, lengths, interpret=True))
+    finite = np.isfinite(want)
+    np.testing.assert_allclose(got[finite], want[finite], atol=1e-4, rtol=0)
+    assert np.all(np.isneginf(got[~finite]))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_p7_pallas(seed):
+    rng = np.random.default_rng(200 + seed)
+    leng = int(rng.integers(3, 40))
+    hmm = random_profile(rng, leng)
+    p7 = P7Profile.from_profile(hmm)
+    lengths = np.array([48, 1, 31, 64], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(4, 64)).astype(np.int32)
+
+    want_v = viterbi_oracle_batch(p7, tokens, lengths)
+    got_v = np.asarray(viterbi_pallas(p7, tokens, lengths, interpret=True))
+    np.testing.assert_allclose(got_v, want_v, atol=1e-4, rtol=0)
+
+    want_f = forward_oracle_batch(p7, tokens, lengths)
+    got_f = np.asarray(
+        forward_pallas(p7, tokens, lengths, interpret=True, prob_space=True)
+    )
+    np.testing.assert_allclose(got_f, want_f, atol=2e-3, rtol=0)
