@@ -161,8 +161,15 @@ def parse_hmm_text(text: str, *, star_as_zero_prob: bool = False) -> ProfileHMM:
     # COMPO anchor; the following two lines are node-0 insert emissions and
     # transitions; match_emissions[0] stays zero (Profile_HMM.cpp:96-113).
     _lines_after_tag(lines, "COMPO")
-    insert[0] = _neg_log_to_prob(next(lines).split(), NUM_AMINO_ACIDS, star_as_zero_prob)
-    trans[0] = _neg_log_to_prob(next(lines).split(), NUM_TRANSITIONS, star_as_zero_prob)
+    try:
+        insert[0] = _neg_log_to_prob(
+            next(lines).split(), NUM_AMINO_ACIDS, star_as_zero_prob
+        )
+        trans[0] = _neg_log_to_prob(
+            next(lines).split(), NUM_TRANSITIONS, star_as_zero_prob
+        )
+    except StopIteration as e:
+        raise HMMParseError("truncated .hmm file (after COMPO)") from e
 
     try:
         for k in range(1, model_length):

@@ -80,3 +80,43 @@ def test_fuzz_p7_pallas(seed):
         forward_pallas(p7, tokens, lengths, interpret=True, prob_space=True)
     )
     np.testing.assert_allclose(got_f, want_f, atol=2e-3, rtol=0)
+
+
+def test_fuzz_parsers_raise_cleanly():
+    """Mutated inputs must either parse or raise the STRUCTURED parse
+    errors — never IndexError/KeyError/UnboundLocal crashes (the
+    reference's parsers crash on such inputs — SURVEY.md quirk 5)."""
+    from hmm_fasta_viterbi_tpu.io.fastaio import FastaParseError, parse_fasta_text
+    from hmm_fasta_viterbi_tpu.io.hmmio import HMMParseError, parse_hmm_text
+    from test_hmm_parsing import MINI_HMM
+
+    rng = np.random.default_rng(7)
+    lines = MINI_HMM.splitlines()
+    for trial in range(60):
+        mutated = list(lines)
+        op = trial % 3
+        if op == 0:  # truncate
+            mutated = mutated[: int(rng.integers(0, len(lines)))]
+        elif op == 1:  # drop a random line
+            del mutated[int(rng.integers(0, len(mutated)))]
+        else:  # corrupt a random line
+            i = int(rng.integers(0, len(mutated)))
+            mutated[i] = "".join(
+                rng.choice(list("abc* .-123\t")) for _ in range(20)
+            )
+        try:
+            parse_hmm_text("\n".join(mutated))
+        except HMMParseError:
+            pass  # the contract
+
+    fasta_bases = [">a\nACDE\n", "ACDE\n", ">\n\n>", ">x", "", "\n\n", ">y\nZZ@#\n"]
+    for trial in range(40):
+        base = fasta_bases[trial % len(fasta_bases)]
+        chars = list(base)
+        if chars:
+            i = int(rng.integers(0, len(chars)))
+            chars[i] = chr(int(rng.integers(32, 127)))
+        try:
+            parse_fasta_text("".join(chars))
+        except FastaParseError:
+            pass  # the contract
