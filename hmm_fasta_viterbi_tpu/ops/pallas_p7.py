@@ -246,23 +246,25 @@ def p7_pallas_call(
     l_pad, b_pad = tokens_t.shape
     assert twenty == 20 and b_pad % LANES == 0 and l_pad % l_chunk == 0
     assert m_pad % 8 == 0
-    # three [M_pad, 128] carries + ~15 per-step [M_pad, 128] temporaries
-    # (emission selects, diag, chain passes): scale the unroll down for
-    # large models to bound the VMEM scoped allocation
+    # three [M_pad, lanes] carries + ~15 per-step [M_pad, lanes]
+    # temporaries (emission selects, diag, chain passes): scale the
+    # unroll down for large models to bound the VMEM scoped allocation;
+    # 256-lane tiles (more ILP on the chain) when batch and VMEM allow
+    lanes = 256 if (b_pad % 256 == 0 and m_pad <= 2048) else LANES
     if m_pad > 1536:
         unroll = min(unroll, 2)
     elif m_pad > 768:
         unroll = min(unroll, 4)
     while l_chunk % unroll:
         unroll //= 2
-    num_b = b_pad // LANES
+    num_b = b_pad // lanes
     num_l = l_pad // l_chunk
     lengths2d = lengths.reshape(1, b_pad)
 
     carry_spec = pl.BlockSpec(
-        (m_pad, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM
+        (m_pad, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM
     )
-    s_spec = pl.BlockSpec((4, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((4, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM)
     score, m_out, i_out, d_out, s_out = pl.pallas_call(
         functools.partial(_p7_kernel, unroll=unroll, forward=forward),
         grid=(num_b, num_l),
@@ -271,9 +273,9 @@ def p7_pallas_call(
             pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, 8), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, 16), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_chunk, LANES), lambda b, l: (l, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_chunk, lanes), lambda b, l: (l, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             carry_spec,
             carry_spec,
@@ -284,7 +286,7 @@ def p7_pallas_call(
         # (saves 3x [M_pad, B_pad] VMEM blocks + copies)
         input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
         out_specs=(
-            pl.BlockSpec((1, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
             carry_spec,
             carry_spec,
             carry_spec,
@@ -588,13 +590,14 @@ def _fwd_prob_padded(
     """Jitted prob-space Forward over padded operands -> scores [B_pad]."""
     m_pad = modds_t.shape[0]
     l_pad, b_pad = tokens_i8_t.shape
+    lanes = 256 if (b_pad % 256 == 0 and m_pad <= 2048) else LANES
     if m_pad > 1536:
         unroll = min(unroll, 2)
     elif m_pad > 768:
         unroll = min(unroll, 4)
     while l_chunk % unroll:
         unroll //= 2
-    num_b = b_pad // LANES
+    num_b = b_pad // lanes
     num_l = l_pad // l_chunk
     lengths2d = lengths.reshape(1, b_pad)
 
@@ -604,9 +607,9 @@ def _fwd_prob_padded(
     s_init = s_init.at[3].set(jnp.exp(tr_rows[1]))  # B = move prob
 
     carry_spec = pl.BlockSpec(
-        (m_pad, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM
+        (m_pad, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM
     )
-    s_spec = pl.BlockSpec((8, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((8, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM)
     score, *_ = pl.pallas_call(
         functools.partial(_fwd_prob_kernel, unroll=unroll),
         grid=(num_b, num_l),
@@ -615,9 +618,9 @@ def _fwd_prob_padded(
             pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, 8), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, 16), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_chunk, LANES), lambda b, l: (l, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_chunk, lanes), lambda b, l: (l, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             carry_spec,
             carry_spec,
@@ -626,7 +629,7 @@ def _fwd_prob_padded(
         ],
         input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
         out_specs=(
-            pl.BlockSpec((1, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
             carry_spec,
             carry_spec,
             carry_spec,
