@@ -37,6 +37,7 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
         choices=["auto", "native", "python"],
         help="data loader: native C++ fast path or pure-Python parsers",
     )
+    ap.add_argument("--out", default=None, help="write results to FILE instead of stdout")
     ap.add_argument("--config", default=None, help="EngineConfig JSON path")
     ap.add_argument("--profile-trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the scan into DIR")
@@ -47,6 +48,11 @@ _PVALUE_FNS = {
     "viterbi": stats.viterbi_pvalue,
     "forward": stats.forward_pvalue,
 }
+
+
+def _open_out(args):
+    path = getattr(args, "out", None)
+    return open(path, "w") if path else None
 
 
 def _report(profile, db, scores: np.ndarray, args, out=None, stage="msv") -> None:
@@ -147,7 +153,12 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
             int(result.passed_forward.sum()),
             dt,
         )
-        _report_search(hmm, db, result, args)
+        sink = _open_out(args)
+        try:
+            _report_search(hmm, db, result, args, out=sink)
+        finally:
+            if sink:
+                sink.close()
         return 0
 
     dt = time.perf_counter() - t0
@@ -156,7 +167,12 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
         "scanned %d seqs x %s (%s) in %.3fs (%.2f GCUPS)",
         len(db), hmm.name, args.stage, dt, cells / dt / 1e9,
     )
-    _report(hmm, db, scores, args, stage=args.stage)
+    sink = _open_out(args)
+    try:
+        _report(hmm, db, scores, args, out=sink, stage=args.stage)
+    finally:
+        if sink:
+            sink.close()
     return 0
 
 
@@ -203,22 +219,32 @@ def cmd_sweep(args) -> int:
         # one staged database (optionally with the bf16 MSV prefilter)
         from .pipeline import SearchPipeline
         pipeline = SearchPipeline(scanner, fast_msv=getattr(args, "fast", False))
-        for path in paths:
-            hmm = load_profile(path, prefer=args.loader)
-            result = pipeline.search(hmm, staged, tokens, lengths)
-            logger.info(
-                "search %s: %d past MSV -> %d past Viterbi -> %d hits",
-                hmm.name,
-                int(result.passed_msv.sum()),
-                int(result.passed_viterbi.sum()),
-                int(result.passed_forward.sum()),
-            )
-            _report_search(hmm, db, result, args)
+        sink = _open_out(args)
+        try:
+            for path in paths:
+                hmm = load_profile(path, prefer=args.loader)
+                result = pipeline.search(hmm, staged, tokens, lengths)
+                logger.info(
+                    "search %s: %d past MSV -> %d past Viterbi -> %d hits",
+                    hmm.name,
+                    int(result.passed_msv.sum()),
+                    int(result.passed_viterbi.sum()),
+                    int(result.passed_forward.sum()),
+                )
+                _report_search(hmm, db, result, args, out=sink)
+        finally:
+            if sink:
+                sink.close()
         return 0
-    for path in paths:
-        profile = MSVProfile.from_profile(load_profile(path, prefer=args.loader))
-        scores = np.asarray(scanner.scan(profile, staged))
-        _report(profile, db, scores, args)
+    sink = _open_out(args)
+    try:
+        for path in paths:
+            profile = MSVProfile.from_profile(load_profile(path, prefer=args.loader))
+            scores = np.asarray(scanner.scan(profile, staged))
+            _report(profile, db, scores, args, out=sink)
+    finally:
+        if sink:
+            sink.close()
     return 0
 
 
