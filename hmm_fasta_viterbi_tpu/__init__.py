@@ -11,11 +11,18 @@ from .io.alphabet import AMINO_ACIDS, BACKGROUND_FREQUENCIES, NUM_AMINO_ACIDS
 from .io.fastaio import FastaDatabase, FastaRecord, parse_fasta, parse_fasta_text
 from .io.hmmio import HMMParseError, ProfileHMM, parse_hmm, parse_hmm_text
 from .models.msv import MSVProfile, expand_msv_scores, length_transitions, msv_transitions
-from .ops.reference import msv_oracle, msv_oracle_batch
+from .ops.reference import (
+    backward_oracle,
+    msv_oracle,
+    msv_oracle_batch,
+    posterior_match,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "backward_oracle",
+    "posterior_match",
     "AMINO_ACIDS",
     "BACKGROUND_FREQUENCIES",
     "NUM_AMINO_ACIDS",

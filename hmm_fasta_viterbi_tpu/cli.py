@@ -155,7 +155,9 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
         )
         sink = _open_out(args)
         try:
-            _report_search(hmm, db, result, args, out=sink)
+            _report_search(
+                hmm, db, result, args, out=sink, tokens=tokens, lengths=lengths
+            )
         finally:
             if sink:
                 sink.close()
@@ -176,33 +178,57 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
     return 0
 
 
-def _report_search(hmm, db, result, args, out=None) -> None:
+def _domain_envelope(hmm, tokens_row, length) -> tuple[int, int] | None:
+    """Posterior-decode a hit: the 1-based [env_from, env_to] span where
+    some match state carries >= 0.5 posterior (HMMER-envelope-style)."""
+    from .models.p7 import P7Profile
+    from .ops.reference import posterior_match
+
+    p7 = P7Profile.from_profile(hmm)
+    post, _ = posterior_match(p7, np.asarray(tokens_row[:length]))
+    covered = post.sum(axis=1) >= 0.5
+    idx = np.flatnonzero(covered)
+    if not idx.size:
+        return None
+    return int(idx[0]) + 1, int(idx[-1]) + 1
+
+
+def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None) -> None:
     out = out if out is not None else sys.stdout
+    want_domains = bool(getattr(args, "domains", False)) and tokens is not None
     order = np.flatnonzero(result.passed_msv)
     order = order[np.argsort(-np.nan_to_num(result.forward_scores[order], nan=-np.inf))]
     rows = []
     for i in order:
-        rows.append(
-            {
-                "target": db.records[i].header or f"seq{i}",
-                "profile": hmm.name,
-                "msv_bits": round(float(stats.nats_to_bits(result.msv_scores[i])), 4),
-                "msv_p": float(result.msv_pvalues[i]),
-                "viterbi_p": float(result.viterbi_pvalues[i]),
-                "forward_p": float(result.forward_pvalues[i]),
-                "hit": bool(result.passed_forward[i]),
-            }
-        )
+        row = {
+            "target": db.records[i].header or f"seq{i}",
+            "profile": hmm.name,
+            "msv_bits": round(float(stats.nats_to_bits(result.msv_scores[i])), 4),
+            "msv_p": float(result.msv_pvalues[i]),
+            "viterbi_p": float(result.viterbi_pvalues[i]),
+            "forward_p": float(result.forward_pvalues[i]),
+            "hit": bool(result.passed_forward[i]),
+        }
+        if want_domains and result.passed_forward[i]:
+            env = _domain_envelope(hmm, tokens[i], int(lengths[i]))
+            row["env_from"], row["env_to"] = env if env else (0, 0)
+        rows.append(row)
     if args.format == "json":
         json.dump(rows, out, indent=1)
         out.write("\n")
     else:
-        out.write("# target\tprofile\tmsv_bits\tmsv_p\tviterbi_p\tforward_p\thit\n")
+        cols = "# target\tprofile\tmsv_bits\tmsv_p\tviterbi_p\tforward_p\thit"
+        if want_domains:
+            cols += "\tenv_from\tenv_to"
+        out.write(cols + "\n")
         for r in rows:
-            out.write(
+            line = (
                 f"{r['target']}\t{r['profile']}\t{r['msv_bits']}\t{r['msv_p']:.3e}\t"
-                f"{r['viterbi_p']:.3e}\t{r['forward_p']:.3e}\t{int(r['hit'])}\n"
+                f"{r['viterbi_p']:.3e}\t{r['forward_p']:.3e}\t{int(r['hit'])}"
             )
+            if want_domains:
+                line += f"\t{r.get('env_from', '')}\t{r.get('env_to', '')}"
+            out.write(line + "\n")
 
 
 def cmd_sweep(args) -> int:
@@ -277,6 +303,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--fast",
         action="store_true",
         help="search stage: bf16 upper-bound MSV prefilter + exact rescore",
+    )
+    scan.add_argument(
+        "--domains",
+        action="store_true",
+        help="search stage: posterior-decode an alignment envelope per hit",
     )
     scan.add_argument(
         "--bucketed",

@@ -124,6 +124,154 @@ def forward_oracle(p7, tokens: np.ndarray) -> np.float32:
     return _p7_oracle(p7, tokens, np.logaddexp, np.logaddexp.reduce)
 
 
+def _reduce_lse(x: np.ndarray) -> np.float32:
+    m = np.max(x) if x.size else np.float32(NEG_INF)
+    if np.isneginf(m):
+        return np.float32(NEG_INF)
+    return np.float32(m + np.log(np.exp(x - m).sum()))
+
+
+def forward_rows(p7, tokens: np.ndarray):
+    """Forward DP with per-position rows kept: (total, M, I, D) where
+    each row array is [L+1, mr] (row t = state after consuming t tokens;
+    row 0 is the -inf init)."""
+    tokens = np.asarray(tokens)
+    seq_len = tokens.shape[0]
+    mr = p7.num_states
+    tr_loop, tr_move = length_transitions(seq_len)
+    lse = np.logaddexp
+
+    m = np.full(mr, NEG_INF, dtype=np.float32)
+    i_st = np.full(mr, NEG_INF, dtype=np.float32)
+    d = np.full(mr, NEG_INF, dtype=np.float32)
+    j_st = np.float32(NEG_INF)
+    c_st = np.float32(NEG_INF)
+    n_st = np.float32(0.0)
+    b_st = np.float32(tr_move)
+    rows_m, rows_i, rows_d = [m.copy()], [i_st.copy()], [d.copy()]
+
+    for t in range(seq_len):
+        aa = tokens[t]
+        ms = p7.msc[aa]
+        is_ = p7.isc[aa]
+        diag = lse(lse(_shift(m + p7.tmm), _shift(i_st + p7.tim)), _shift(d + p7.tdm))
+        new_m = (ms + lse(diag, np.float32(b_st + p7.tr_B_Mk))).astype(np.float32)
+        new_i = (is_ + lse(m + p7.tmi, i_st + p7.tii)).astype(np.float32)
+        new_d = np.full(mr, NEG_INF, dtype=np.float32)
+        for jj in range(1, mr):
+            new_d[jj] = lse(
+                np.float32(new_m[jj - 1] + p7.tmd[jj - 1]),
+                np.float32(new_d[jj - 1] + p7.tdd[jj - 1]),
+            )
+        e_st = lse(_reduce_lse(new_m), _reduce_lse(new_d))
+        j_st = np.float32(lse(np.float32(j_st + tr_loop), np.float32(e_st + p7.tr_E_J)))
+        c_st = np.float32(lse(np.float32(c_st + tr_loop), np.float32(e_st + p7.tr_E_C)))
+        n_st = np.float32(n_st + tr_loop)
+        b_st = np.float32(lse(np.float32(n_st + tr_move), np.float32(j_st + tr_move)))
+        m, i_st, d = new_m, new_i, new_d
+        rows_m.append(m.copy())
+        rows_i.append(i_st.copy())
+        rows_d.append(d.copy())
+
+    total = np.float32(c_st + tr_move)
+    return total, np.stack(rows_m), np.stack(rows_i), np.stack(rows_d)
+
+
+def posterior_match(p7, tokens: np.ndarray):
+    """Per-position match-state posteriors: P[t, j] = probability that
+    the alignment path emits token t+1 (0-based row t) from match state
+    j+1 — the forward-backward decode that underlies HMMER's domain
+    postprocessing. Returns ([L, mr] float32, total_score)."""
+    tokens = np.asarray(tokens)
+    total_f, fm, _, _ = forward_rows(p7, tokens)
+    total_b, bm, _, _ = backward_oracle(p7, tokens, return_rows=True)
+    if not np.isfinite(total_f):
+        return np.zeros((tokens.shape[0], p7.num_states), dtype=np.float32), total_f
+    # row t >= 1 of fm pairs with beta row t (state M_j after t tokens)
+    post = np.exp((fm[1:] + bm[1:]) - total_f).astype(np.float32)
+    return post, total_f
+
+
+def backward_oracle(p7, tokens: np.ndarray, return_rows: bool = False):
+    """Backward (suffix) log-probabilities for the local multihit model.
+
+    beta_t(state) = log P(emit tokens[t:] and reach T | in `state` after
+    consuming t tokens). The model total is beta_0(N) (the forward init
+    is N = 0), which must equal the Forward score — differentially
+    tested. ``return_rows=True`` additionally returns the [L+1, mr]
+    M/I/D beta rows for posterior decoding.
+
+    The delete chain runs RIGHT-to-LEFT here (suffix affine chain) —
+    the mirror of the forward oracle's left-to-right chain.
+    """
+    tokens = np.asarray(tokens)
+    seq_len = tokens.shape[0]
+    mr = p7.num_states
+    tr_loop, tr_move = length_transitions(seq_len)
+    lse = np.logaddexp
+    neg = np.float32(NEG_INF)
+
+    def sl(x):  # align j+1 -> j; -inf fill at j = mr-1
+        return np.concatenate((x[1:], [neg])).astype(np.float32)
+
+    # ---- t = L boundary: only emission-free exits remain -------------
+    b_c = np.float32(tr_move)  # C -> T
+    b_j = neg
+    b_n = neg
+    b_e = np.float32(p7.tr_E_C + b_c)  # E -> C
+    b_d = np.full(mr, NEG_INF, dtype=np.float32)
+    for jj in range(mr - 1, -1, -1):
+        nxt = b_d[jj + 1] if jj + 1 < mr else neg
+        b_d[jj] = lse(np.float32(p7.tdd[jj]) + nxt, b_e)
+    b_m = lse(p7.tmd + sl(b_d), b_e).astype(np.float32)
+    b_i = np.full(mr, NEG_INF, dtype=np.float32)
+
+    rows_m = [b_m.copy()] if return_rows else None
+    rows_i = [b_i.copy()] if return_rows else None
+    rows_d = [b_d.copy()] if return_rows else None
+
+    for t in range(seq_len - 1, -1, -1):
+        ms_n = p7.msc[tokens[t]]  # emissions of token t+1 (0-based [t])
+        is_n = p7.isc[tokens[t]]
+        memit = (ms_n + b_m).astype(np.float32)  # ms[x,j] + beta_{t+1}(M_j)
+        iemit = (is_n + b_i).astype(np.float32)
+        m_next = sl(memit)  # ms[x,j+1] + beta_{t+1}(M_{j+1})
+
+        new_b = _reduce_lse(np.float32(p7.tr_B_Mk) + memit)
+        new_j = np.float32(lse(tr_loop + b_j, tr_move + new_b))
+        new_n = np.float32(lse(tr_loop + b_n, tr_move + new_b))
+        new_c = np.float32(tr_loop + b_c)
+        new_e = np.float32(lse(p7.tr_E_C + new_c, p7.tr_E_J + new_j))
+
+        new_i = lse(p7.tim + m_next, p7.tii + iemit).astype(np.float32)
+        new_d = np.full(mr, NEG_INF, dtype=np.float32)
+        for jj in range(mr - 1, -1, -1):
+            nxt = new_d[jj + 1] if jj + 1 < mr else neg
+            new_d[jj] = lse(
+                lse(np.float32(p7.tdm[jj]) + m_next[jj],
+                    np.float32(p7.tdd[jj]) + nxt),
+                new_e,
+            )
+        new_m = lse(
+            lse(p7.tmm + m_next, p7.tmi + iemit),
+            lse(p7.tmd + sl(new_d), new_e),
+        ).astype(np.float32)
+
+        b_m, b_i, b_d, b_j, b_c, b_n = new_m, new_i, new_d, new_j, new_c, new_n
+        if return_rows:
+            rows_m.append(b_m.copy())
+            rows_i.append(b_i.copy())
+            rows_d.append(b_d.copy())
+
+    total = np.float32(b_n) if seq_len > 0 else np.float32(NEG_INF)
+    if return_rows:
+        rows_m.reverse()
+        rows_i.reverse()
+        rows_d.reverse()
+        return total, np.stack(rows_m), np.stack(rows_i), np.stack(rows_d)
+    return total
+
+
 def viterbi_oracle_batch(p7, tokens: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return np.array(
         [viterbi_oracle(p7, tokens[b, : lengths[b]]) for b in range(tokens.shape[0])],
