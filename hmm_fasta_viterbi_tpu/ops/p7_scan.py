@@ -165,6 +165,136 @@ def _run(jitted, profile, tokens, lengths, unroll=1):
     )
 
 
+def _suffix_delete_chain(a: jax.Array, c: jax.Array) -> jax.Array:
+    """Right-to-left affine scan: D_j = LSE(a_j, D_{j+1} + c_j) — the
+    suffix mirror of :func:`_delete_chain`."""
+
+    def op(left, right):
+        a1, c1 = left
+        a2, c2 = right
+        return jnp.logaddexp(a2, a1 + c2), c1 + c2
+
+    # (positive axis: reverse=True rejects negative axes)
+    d, _ = jax.lax.associative_scan(
+        op, (a, jnp.broadcast_to(c, a.shape)), axis=a.ndim - 1, reverse=True
+    )
+    return d
+
+
+def backward_scan(
+    msc: jax.Array,  # [20, Mr]
+    isc: jax.Array,  # [20, Mr]
+    trans: jax.Array,  # [7, Mr]
+    tr_B_Mk: jax.Array,
+    tr_E_C: jax.Array,
+    tr_E_J: jax.Array,
+    tokens: jax.Array,  # [B, L] int32
+    lengths: jax.Array,  # [B] int32
+    tr_loop: jax.Array,  # [B] f32
+    tr_move: jax.Array,  # [B] f32
+) -> jax.Array:
+    """Batched Backward totals beta_0(N), f32 [B].
+
+    The suffix recurrence of ops.reference.backward_oracle: steps run
+    right-to-left over the PADDED width; steps at positions >= length
+    are identity (the t = L boundary state is injected exactly when the
+    reversed step index first enters the valid range), so one jitted
+    program serves ragged batches.
+    """
+    batch, seq_len = tokens.shape
+    neg_inf = jnp.float32(NEG_INF)
+    tmm, tmi, tmd, tim, tii, tdm, tdd = (trans[k] for k in range(7))
+    num_states = msc.shape[1]
+    lse = jnp.logaddexp
+
+    def shift_left(x):  # j+1 -> j, -inf fill at j = Mr-1
+        pad = jnp.full(x.shape[:-1] + (1,), NEG_INF, dtype=x.dtype)
+        return jnp.concatenate([x[..., 1:], pad], axis=-1)
+
+    # t = L boundary (per-lane; injected when a lane becomes active)
+    bc_L = tr_move  # [B]
+    be_L = tr_E_C + bc_L
+    # boundary D: suffix chain with a_j = be_L, c_j = tdd[j]
+    bd_L = _suffix_delete_chain(
+        jnp.broadcast_to(be_L[:, None], (batch, num_states)),
+        tdd[None, :],
+    )
+    bm_L = lse(tmd[None, :] + shift_left(bd_L), be_L[:, None])
+
+    init = (
+        jnp.full((batch, num_states), neg_inf, dtype=jnp.float32),  # M
+        jnp.full((batch, num_states), neg_inf, dtype=jnp.float32),  # I
+        jnp.full((batch,), neg_inf, dtype=jnp.float32),  # J
+        jnp.full((batch,), neg_inf, dtype=jnp.float32),  # C
+        jnp.full((batch,), neg_inf, dtype=jnp.float32),  # N
+    )
+
+    def step(carry, x):
+        b_m, b_i, b_j, b_c, b_n = carry
+        tok, t = x  # t = original position index, scanned L-1 .. 0
+        # lanes whose length ends exactly after this token load the
+        # boundary state; shorter lanes stay inert until their turn
+        at_end = (t == lengths - 1)[:, None]
+        b_m = jnp.where(at_end, bm_L, b_m)
+        b_i = jnp.where(at_end, neg_inf, b_i)
+        b_j = jnp.where(at_end[:, 0], neg_inf, b_j)
+        b_c = jnp.where(at_end[:, 0], bc_L, b_c)
+        b_n = jnp.where(at_end[:, 0], neg_inf, b_n)
+
+        ms_n = msc[tok]  # [B, Mr]
+        is_n = isc[tok]
+        memit = ms_n + b_m
+        iemit = is_n + b_i
+        m_next = shift_left(memit)
+
+        new_b = jax.scipy.special.logsumexp(tr_B_Mk + memit, axis=1)
+        new_j = lse(tr_loop + b_j, tr_move + new_b)
+        new_n = lse(tr_loop + b_n, tr_move + new_b)
+        new_c = tr_loop + b_c
+        new_e = lse(tr_E_C + new_c, tr_E_J + new_j)
+
+        new_i = lse(tim[None, :] + m_next, tii[None, :] + iemit)
+        a0 = lse(tdm[None, :] + m_next, new_e[:, None])
+        new_d = _suffix_delete_chain(a0, tdd[None, :])
+        new_m = lse(
+            lse(tmm[None, :] + m_next, tmi[None, :] + iemit),
+            lse(tmd[None, :] + shift_left(new_d), new_e[:, None]),
+        )
+
+        valid = (t < lengths)[:, None]
+        carry = (
+            jnp.where(valid, new_m, b_m),
+            jnp.where(valid, new_i, b_i),
+            jnp.where(valid[:, 0], new_j, b_j),
+            jnp.where(valid[:, 0], new_c, b_c),
+            jnp.where(valid[:, 0], new_n, b_n),
+        )
+        return carry, None
+
+    xs = (
+        tokens.T[::-1],
+        jnp.arange(seq_len - 1, -1, -1, dtype=jnp.int32),
+    )
+    carry, _ = jax.lax.scan(step, init, xs)
+    total = carry[4]
+    return jnp.where(lengths > 0, total, neg_inf)
+
+
+_backward_jit = jax.jit(backward_scan)
+
+
+def backward_xla(profile: P7Profile, tokens, lengths) -> jax.Array:
+    """Batched Backward scores (must equal forward_xla), f32 [B]."""
+    tr_loop, tr_move = length_transitions(np.asarray(lengths))
+    return _backward_jit(
+        *_pack(profile),
+        jnp.asarray(tokens, dtype=jnp.int32),
+        jnp.asarray(lengths, dtype=jnp.int32),
+        jnp.asarray(tr_loop, dtype=jnp.float32),
+        jnp.asarray(tr_move, dtype=jnp.float32),
+    )
+
+
 def viterbi_xla(profile: P7Profile, tokens, lengths, unroll: int = 1) -> jax.Array:
     """Full local Viterbi filter scores, f32 [B]."""
     return _run(_viterbi_jit, profile, tokens, lengths, unroll)

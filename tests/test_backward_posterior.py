@@ -174,3 +174,30 @@ def test_cli_search_domains(tmp_path, profile_dir, capsys):
     env_from, env_to = int(fields[-2]), int(fields[-1])
     # the consensus should be covered nearly end to end
     assert env_from <= 5 and env_to >= len(seq) - 5, (env_from, env_to)
+
+
+def test_backward_xla_batched_matches_forward(p7_100):
+    """Batched device backward: beta_0(N) == forward, ragged + empty."""
+    from hmm_fasta_viterbi_tpu.ops.p7_scan import backward_xla, forward_xla
+
+    rng = np.random.default_rng(9)
+    lengths = np.array([48, 100, 7, 1, 0, 64], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(len(lengths), 100)).astype(np.int32)
+    f = np.asarray(forward_xla(p7_100, tokens, lengths))
+    b = np.asarray(backward_xla(p7_100, tokens, lengths))
+    mask = lengths > 0
+    np.testing.assert_allclose(b[mask], f[mask], atol=TOL, rtol=0)
+    assert np.isneginf(b[~mask]).all()
+
+
+def test_backward_xla_vs_oracle(mini_p7):
+    from hmm_fasta_viterbi_tpu.ops.p7_scan import backward_xla
+
+    rng = np.random.default_rng(10)
+    lengths = np.array([5, 12, 2], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(3, 12)).astype(np.int32)
+    got = np.asarray(backward_xla(mini_p7, tokens, lengths))
+    want = np.array(
+        [backward_oracle(mini_p7, tokens[i, : lengths[i]]) for i in range(3)]
+    )
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
