@@ -180,13 +180,15 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
 
 def _domain_envelope(hmm, tokens_row, length) -> tuple[int, int] | None:
     """Posterior-decode a hit: the 1-based [env_from, env_to] span where
-    some match state carries >= 0.5 posterior (HMMER-envelope-style)."""
+    some match state carries >= 0.5 posterior (HMMER-envelope-style).
+    Uses the jitted forward-backward decode (the NumPy oracle's scalar
+    delete-chain loop is minutes-slow at M ~ 1400)."""
     from .models.p7 import P7Profile
-    from .ops.reference import posterior_match
+    from .ops.p7_scan import posterior_match_xla
 
     p7 = P7Profile.from_profile(hmm)
-    post, _ = posterior_match(p7, np.asarray(tokens_row[:length]))
-    covered = post.sum(axis=1) >= 0.5
+    post, _ = posterior_match_xla(p7, np.asarray(tokens_row[:length]))
+    covered = np.asarray(post).sum(axis=1) >= 0.5
     idx = np.flatnonzero(covered)
     if not idx.size:
         return None

@@ -295,6 +295,106 @@ def backward_xla(profile: P7Profile, tokens, lengths) -> jax.Array:
     )
 
 
+def _posterior_scan(
+    msc, isc, trans, tr_B_Mk, tr_E_C, tr_E_J, tokens, tr_loop, tr_move
+):
+    """Single-sequence forward-backward match posteriors, jitted.
+
+    tokens [L] int32 (true length, no padding). Returns
+    (post [L, Mr] f32, total f32). O(L*Mr) device memory for the saved
+    forward rows — used for hit postprocessing, not database scans.
+    """
+    seq_len = tokens.shape[0]
+    num_states = msc.shape[1]
+    neg_inf = jnp.float32(NEG_INF)
+    tmm, tmi, tmd, tim, tii, tdm, tdd = (trans[k] for k in range(7))
+    tdd_s = _shift_state(tdd)
+    lse = jnp.logaddexp
+    sr = FORWARD
+
+    def shift_left(x):
+        pad = jnp.full(x.shape[:-1] + (1,), NEG_INF, dtype=x.dtype)
+        return jnp.concatenate([x[..., 1:], pad], axis=-1)
+
+    # ---- forward, saving M rows --------------------------------------
+    def fstep(carry, tok):
+        m, i_st, d, j_st, c_st, n_st, b_st = carry
+        ms = msc[tok]
+        is_ = isc[tok]
+        diag = lse(lse(_shift_state(m + tmm), _shift_state(i_st + tim)),
+                   _shift_state(d + tdm))
+        new_m = ms + lse(diag, b_st + tr_B_Mk)
+        new_i = is_ + lse(m + tmi, i_st + tii)
+        new_d = _delete_chain(sr, _shift_state(new_m + tmd), tdd_s)
+        e_st = lse(
+            jax.scipy.special.logsumexp(new_m),
+            jax.scipy.special.logsumexp(new_d),
+        )
+        j_st = lse(j_st + tr_loop, e_st + tr_E_J)
+        c_st = lse(c_st + tr_loop, e_st + tr_E_C)
+        n_st = n_st + tr_loop
+        b_st = lse(n_st + tr_move, j_st + tr_move)
+        return (new_m, new_i, new_d, j_st, c_st, n_st, b_st), new_m
+
+    finit = (
+        jnp.full(num_states, neg_inf), jnp.full(num_states, neg_inf),
+        jnp.full(num_states, neg_inf),
+        neg_inf, neg_inf, jnp.float32(0.0), tr_move,
+    )
+    fcarry, fwd_m = jax.lax.scan(fstep, finit, tokens)
+    total = fcarry[4] + tr_move
+
+    # ---- backward, saving M rows (suffix recurrence) -----------------
+    bc_L = tr_move
+    be_L = tr_E_C + bc_L
+    bd_L = _suffix_delete_chain(jnp.full(num_states, be_L), tdd)
+    bm_L = lse(tmd + shift_left(bd_L), be_L)
+
+    def bstep(carry, tok):
+        b_m, b_i, b_j, b_c, b_n = carry
+        ms_n = msc[tok]
+        is_n = isc[tok]
+        memit = ms_n + b_m
+        iemit = is_n + b_i
+        m_next = shift_left(memit)
+        new_b = jax.scipy.special.logsumexp(tr_B_Mk + memit)
+        new_j = lse(tr_loop + b_j, tr_move + new_b)
+        new_n = lse(tr_loop + b_n, tr_move + new_b)
+        new_c = tr_loop + b_c
+        new_e = lse(tr_E_C + new_c, tr_E_J + new_j)
+        new_i = lse(tim + m_next, tii + iemit)
+        a0 = lse(tdm + m_next, new_e)
+        new_d = _suffix_delete_chain(a0, tdd)
+        new_m = lse(lse(tmm + m_next, tmi + iemit),
+                    lse(tmd + shift_left(new_d), new_e))
+        return (new_m, new_i, new_j, new_c, new_n), b_m
+
+    binit = (bm_L, jnp.full(num_states, neg_inf), neg_inf, bc_L, neg_inf)
+    _, bwd_m_rev = jax.lax.scan(bstep, binit, tokens[::-1])
+    # bwd_m_rev[k] = beta rows BEFORE processing reversed token k, i.e.
+    # beta_{L-k}(M); forward row t pairs with beta_t -> reverse back
+    bwd_m = bwd_m_rev[::-1]
+
+    post = jnp.exp((fwd_m + bwd_m) - total)
+    return post.astype(jnp.float32), total
+
+
+_posterior_jit = jax.jit(_posterior_scan)
+
+
+def posterior_match_xla(profile: P7Profile, tokens) -> tuple[jax.Array, jax.Array]:
+    """Jitted forward-backward match posteriors for ONE sequence.
+
+    Returns (post [L, Mr] f32, total score). Same semantics as
+    ops.reference.posterior_match but runs on device (the NumPy oracle's
+    per-state Python chain loop is minutes-slow at M ~ 1400)."""
+    return _posterior_jit(
+        *_pack(profile),
+        jnp.asarray(tokens, dtype=jnp.int32),
+        *(jnp.float32(x) for x in length_transitions(int(np.asarray(tokens).shape[0]))),
+    )
+
+
 def viterbi_xla(profile: P7Profile, tokens, lengths, unroll: int = 1) -> jax.Array:
     """Full local Viterbi filter scores, f32 [B]."""
     return _run(_viterbi_jit, profile, tokens, lengths, unroll)

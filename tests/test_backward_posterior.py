@@ -201,3 +201,14 @@ def test_backward_xla_vs_oracle(mini_p7):
         [backward_oracle(mini_p7, tokens[i, : lengths[i]]) for i in range(3)]
     )
     np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
+
+
+def test_posterior_match_xla_vs_oracle(p7_100):
+    from hmm_fasta_viterbi_tpu.ops.p7_scan import posterior_match_xla
+
+    rng = np.random.default_rng(11)
+    tokens = rng.integers(0, 20, size=40).astype(np.int32)
+    want, wt = posterior_match(p7_100, tokens)
+    got, gt = posterior_match_xla(p7_100, tokens)
+    assert float(gt) == pytest.approx(float(wt), abs=TOL)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=0)
