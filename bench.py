@@ -237,6 +237,23 @@ def main() -> int:
     if args.filter and scanner.backend == "pallas":
         _extra(run_filter)
 
+    def run_m2405():
+        # BASELINE.md names GCUPS at M=1400 AND M=2405 as the per-chip
+        # targets; time the largest profile on a half batch
+        p2405 = MSVProfile.from_profile(parse_hmm(profile_dir / "2405.hmm"))
+        hb = max(128, args.batch // 2)
+        h_staged = _substage(scanner, staged, tokens, lengths, hb)
+        r = bench_staged(
+            f"headline_2405_{scanner.backend}", scanner, p2405, h_staged, args.reps
+        )
+        extras.append(r)
+        print(
+            f"# M2405: {r.gcups:.2f} GCUPS ({r.seconds*1e3:.1f} ms, batch {hb})",
+            file=sys.stderr,
+        )
+
+    _extra(run_m2405)
+
     def run_stages():
         from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
 
