@@ -156,9 +156,9 @@ def main() -> int:
         import time as _time
 
         # bounded batch: the sweep covers 24 profiles, so a 4096-deep
-        # database already amortizes dispatch while keeping cold compile
+        # database already amortizes dispatch while keeping cold compile time
         # + run time modest
-        sb = min(args.batch, 4096)
+        sb = min(args.batch, 8192)
         sweep_staged = _substage(scanner, staged, tokens, lengths, sb)
         profiles = [
             MSVProfile.from_profile(parse_hmm(path))
