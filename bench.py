@@ -5,10 +5,10 @@ Headline: GCUPS scanning the reference's flagship workload — the
 1400-state profile (algorithms/benchmark_MSV_1400.cpp) against 3500-aa
 random sequences — batched for TPU, database staged on device (the
 reference sweep shape: one FASTA x many profiles). The 24-profile sweep
-(algorithms/benchmark_MSV.cpp equivalent), the bf16 prefilter, and the
-Viterbi/Forward stage kernels run by default (--no-sweep / --no-filter /
---no-stages to skip); ``--e2e`` adds cold end-to-end (host encode +
-upload + scan) numbers.
+(algorithms/benchmark_MSV.cpp equivalent), the bf16 prefilter, the
+M=2405 headline, and the Viterbi/Forward stage kernels run by default
+(--no-sweep / --no-filter / --no-m2405 / --no-stages to skip); ``--e2e``
+adds cold end-to-end (host encode + upload + scan) numbers.
 
 vs_baseline uses BASELINE.md's derived anchor (the reference publishes no
 numbers): 1 GCUPS == one 14.7 ms reference benchmark pass.
@@ -115,6 +115,10 @@ def main() -> int:
     ap.add_argument(
         "--no-filter", dest="filter", action="store_false", default=True,
         help="skip the upper-bound bf16 MSV prefilter timing",
+    )
+    ap.add_argument(
+        "--no-m2405", dest="m2405", action="store_false", default=True,
+        help="skip the M=2405 headline timing",
     )
     args = ap.parse_args()
 
@@ -252,7 +256,8 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    _extra(run_m2405)
+    if args.m2405 and scanner.backend == "pallas":
+        _extra(run_m2405)
 
     def run_stages():
         from hmm_fasta_viterbi_tpu.models.p7 import P7Profile

@@ -9,6 +9,7 @@
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import logging
 import pathlib
@@ -50,12 +51,33 @@ _PVALUE_FNS = {
 }
 
 
-def _open_out(args):
+@contextlib.contextmanager
+def _out_sink(args):
+    """Yield the report sink, opening --out BEFORE the scan runs so a
+    bad path fails fast instead of after minutes of compute."""
     path = getattr(args, "out", None)
-    return open(path, "w") if path else None
+    if path:
+        with open(path, "w") as fh:
+            yield fh
+    else:
+        yield sys.stdout
 
 
-def _report(profile, db, scores: np.ndarray, args, out=None, stage="msv") -> None:
+@contextlib.contextmanager
+def _json_accumulator(args, sink):
+    """Multi-profile sweeps in JSON format must emit ONE valid document:
+    collect every profile's rows and dump a single array at the end."""
+    if args.format != "json":
+        yield None
+        return
+    rows: list = []
+    yield rows
+    json.dump(rows, sink, indent=1)
+    sink.write("\n")
+
+
+def _report(profile, db, scores: np.ndarray, args, out=None, stage="msv",
+            rows_sink=None) -> None:
     out = out if out is not None else sys.stdout
     bits = stats.nats_to_bits(scores)
     pvals = _PVALUE_FNS[stage](scores, profile)
@@ -78,8 +100,11 @@ def _report(profile, db, scores: np.ndarray, args, out=None, stage="msv") -> Non
             }
         )
     if args.format == "json":
-        json.dump(rows, out, indent=1)
-        out.write("\n")
+        if rows_sink is not None:
+            rows_sink.extend(rows)
+        else:
+            json.dump(rows, out, indent=1)
+            out.write("\n")
     else:
         out.write("# target\tprofile\tscore_nats\tscore_bits\tpvalue\tevalue\n")
         for r in rows:
@@ -90,6 +115,8 @@ def _report(profile, db, scores: np.ndarray, args, out=None, stage="msv") -> Non
 
 
 def cmd_scan(args) -> int:
+    if args.out:
+        open(args.out, "w").close()  # fail fast on a bad --out path
     hmm = load_profile(args.hmm, prefer=args.loader)
     db = load_fasta(args.fasta, prefer=args.loader)
     if not len(db):
@@ -153,14 +180,10 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
             int(result.passed_forward.sum()),
             dt,
         )
-        sink = _open_out(args)
-        try:
+        with _out_sink(args) as sink:
             _report_search(
                 hmm, db, result, args, out=sink, tokens=tokens, lengths=lengths
             )
-        finally:
-            if sink:
-                sink.close()
         return 0
 
     dt = time.perf_counter() - t0
@@ -169,24 +192,19 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
         "scanned %d seqs x %s (%s) in %.3fs (%.2f GCUPS)",
         len(db), hmm.name, args.stage, dt, cells / dt / 1e9,
     )
-    sink = _open_out(args)
-    try:
+    with _out_sink(args) as sink:
         _report(hmm, db, scores, args, out=sink, stage=args.stage)
-    finally:
-        if sink:
-            sink.close()
     return 0
 
 
-def _domain_envelope(hmm, tokens_row, length) -> tuple[int, int] | None:
+def _domain_envelope(p7, tokens_row, length) -> tuple[int, int] | None:
     """Posterior-decode a hit: the 1-based [env_from, env_to] span where
-    some match state carries >= 0.5 posterior (HMMER-envelope-style).
+    the SUMMED match-state posterior is >= 0.5 (HMMER-envelope-style
+    coverage of the position by the model core, any state).
     Uses the jitted forward-backward decode (the NumPy oracle's scalar
     delete-chain loop is minutes-slow at M ~ 1400)."""
-    from .models.p7 import P7Profile
     from .ops.p7_scan import posterior_match_xla
 
-    p7 = P7Profile.from_profile(hmm)
     post, _ = posterior_match_xla(p7, np.asarray(tokens_row[:length]))
     covered = np.asarray(post).sum(axis=1) >= 0.5
     idx = np.flatnonzero(covered)
@@ -195,9 +213,15 @@ def _domain_envelope(hmm, tokens_row, length) -> tuple[int, int] | None:
     return int(idx[0]) + 1, int(idx[-1]) + 1
 
 
-def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None) -> None:
+def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
+                   rows_sink=None) -> None:
     out = out if out is not None else sys.stdout
     want_domains = bool(getattr(args, "domains", False)) and tokens is not None
+    p7 = None
+    if want_domains:
+        from .models.p7 import P7Profile
+
+        p7 = P7Profile.from_profile(hmm)
     order = np.flatnonzero(result.passed_msv)
     order = order[np.argsort(-np.nan_to_num(result.forward_scores[order], nan=-np.inf))]
     rows = []
@@ -212,12 +236,15 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None) -
             "hit": bool(result.passed_forward[i]),
         }
         if want_domains and result.passed_forward[i]:
-            env = _domain_envelope(hmm, tokens[i], int(lengths[i]))
+            env = _domain_envelope(p7, tokens[i], int(lengths[i]))
             row["env_from"], row["env_to"] = env if env else (0, 0)
         rows.append(row)
     if args.format == "json":
-        json.dump(rows, out, indent=1)
-        out.write("\n")
+        if rows_sink is not None:
+            rows_sink.extend(rows)
+        else:
+            json.dump(rows, out, indent=1)
+            out.write("\n")
     else:
         cols = "# target\tprofile\tmsv_bits\tmsv_p\tviterbi_p\tforward_p\thit"
         if want_domains:
@@ -234,6 +261,8 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None) -
 
 
 def cmd_sweep(args) -> int:
+    if args.out:
+        open(args.out, "w").close()  # fail fast on a bad --out path
     paths = sorted(pathlib.Path(args.hmm_dir).glob("*.hmm"))
     if not paths:
         logger.error("no .hmm files in %s", args.hmm_dir)
@@ -247,8 +276,7 @@ def cmd_sweep(args) -> int:
         # one staged database (optionally with the bf16 MSV prefilter)
         from .pipeline import SearchPipeline
         pipeline = SearchPipeline(scanner, fast_msv=getattr(args, "fast", False))
-        sink = _open_out(args)
-        try:
+        with _out_sink(args) as sink, _json_accumulator(args, sink) as acc:
             for path in paths:
                 hmm = load_profile(path, prefer=args.loader)
                 result = pipeline.search(hmm, staged, tokens, lengths)
@@ -259,20 +287,13 @@ def cmd_sweep(args) -> int:
                     int(result.passed_viterbi.sum()),
                     int(result.passed_forward.sum()),
                 )
-                _report_search(hmm, db, result, args, out=sink)
-        finally:
-            if sink:
-                sink.close()
+                _report_search(hmm, db, result, args, out=sink, rows_sink=acc)
         return 0
-    sink = _open_out(args)
-    try:
+    with _out_sink(args) as sink, _json_accumulator(args, sink) as acc:
         for path in paths:
             profile = MSVProfile.from_profile(load_profile(path, prefer=args.loader))
             scores = np.asarray(scanner.scan(profile, staged))
-            _report(profile, db, scores, args, out=sink)
-    finally:
-        if sink:
-            sink.close()
+            _report(profile, db, scores, args, out=sink, rows_sink=acc)
     return 0
 
 

@@ -296,13 +296,15 @@ def backward_xla(profile: P7Profile, tokens, lengths) -> jax.Array:
 
 
 def _posterior_scan(
-    msc, isc, trans, tr_B_Mk, tr_E_C, tr_E_J, tokens, tr_loop, tr_move
+    msc, isc, trans, tr_B_Mk, tr_E_C, tr_E_J, tokens, length, tr_loop, tr_move
 ):
     """Single-sequence forward-backward match posteriors, jitted.
 
-    tokens [L] int32 (true length, no padding). Returns
-    (post [L, Mr] f32, total f32). O(L*Mr) device memory for the saved
-    forward rows — used for hit postprocessing, not database scans.
+    tokens [L_pad] int32, ``length`` the true length (padding masked in
+    both passes so compiles are shared per L bucket). Returns
+    (post [L_pad, Mr] f32 — rows >= length are zero, total f32).
+    O(L_pad*Mr) device memory for the saved forward rows — used for hit
+    postprocessing, not database scans.
     """
     seq_len = tokens.shape[0]
     num_states = msc.shape[1]
@@ -336,12 +338,23 @@ def _posterior_scan(
         b_st = lse(n_st + tr_move, j_st + tr_move)
         return (new_m, new_i, new_d, j_st, c_st, n_st, b_st), new_m
 
+    def fstep_masked(carry, x):
+        tok, t = x
+        new_carry, row = fstep(carry, tok)
+        valid = t < length
+        keep = jax.tree.map(
+            lambda n, o: jnp.where(valid, n, o), new_carry, carry
+        )
+        return keep, jnp.where(valid, row, neg_inf)
+
     finit = (
         jnp.full(num_states, neg_inf), jnp.full(num_states, neg_inf),
         jnp.full(num_states, neg_inf),
         neg_inf, neg_inf, jnp.float32(0.0), tr_move,
     )
-    fcarry, fwd_m = jax.lax.scan(fstep, finit, tokens)
+    fcarry, fwd_m = jax.lax.scan(
+        fstep_masked, finit, (tokens, jnp.arange(seq_len, dtype=jnp.int32))
+    )
     total = fcarry[4] + tr_move
 
     # ---- backward, saving M rows (suffix recurrence) -----------------
@@ -369,10 +382,36 @@ def _posterior_scan(
                     lse(tmd + shift_left(new_d), new_e))
         return (new_m, new_i, new_j, new_c, new_n), b_m
 
-    binit = (bm_L, jnp.full(num_states, neg_inf), neg_inf, bc_L, neg_inf)
-    _, bwd_m_rev = jax.lax.scan(bstep, binit, tokens[::-1])
+    def bstep_masked(carry, x):
+        tok, t = x  # t = original position, scanned L_pad-1 .. 0
+        b_m, b_i, b_j, b_c, b_n = carry
+        at_end = t == length - 1
+        carry = (
+            jnp.where(at_end, bm_L, b_m),
+            jnp.where(at_end, neg_inf, b_i),
+            jnp.where(at_end, neg_inf, b_j),
+            jnp.where(at_end, bc_L, b_c),
+            jnp.where(at_end, neg_inf, b_n),
+        )
+        new_carry, row = bstep(carry, tok)
+        valid = t < length
+        keep = jax.tree.map(
+            lambda n, o: jnp.where(valid, n, o), new_carry, carry
+        )
+        return keep, jnp.where(valid, row, neg_inf)
+
+    binit = (
+        jnp.full(num_states, neg_inf), jnp.full(num_states, neg_inf),
+        neg_inf, bc_L, neg_inf,
+    )
+    _, bwd_m_rev = jax.lax.scan(
+        bstep_masked,
+        binit,
+        (tokens[::-1], jnp.arange(seq_len - 1, -1, -1, dtype=jnp.int32)),
+    )
     # bwd_m_rev[k] = beta rows BEFORE processing reversed token k, i.e.
-    # beta_{L-k}(M); forward row t pairs with beta_t -> reverse back
+    # beta at (original position + 1); forward row t pairs with beta row
+    # t (both "after t+1 tokens") -> reverse back
     bwd_m = bwd_m_rev[::-1]
 
     post = jnp.exp((fwd_m + bwd_m) - total)
@@ -387,12 +426,20 @@ def posterior_match_xla(profile: P7Profile, tokens) -> tuple[jax.Array, jax.Arra
 
     Returns (post [L, Mr] f32, total score). Same semantics as
     ops.reference.posterior_match but runs on device (the NumPy oracle's
-    per-state Python chain loop is minutes-slow at M ~ 1400)."""
-    return _posterior_jit(
+    per-state Python chain loop is minutes-slow at M ~ 1400). Tokens pad
+    to 128-multiples so hits of different lengths share compiles."""
+    tokens = np.asarray(tokens, dtype=np.int32)
+    length = int(tokens.shape[0])
+    l_pad = max(128, -(-length // 128) * 128)
+    padded = np.zeros(l_pad, dtype=np.int32)
+    padded[:length] = tokens
+    post, total = _posterior_jit(
         *_pack(profile),
-        jnp.asarray(tokens, dtype=jnp.int32),
-        *(jnp.float32(x) for x in length_transitions(int(np.asarray(tokens).shape[0]))),
+        jnp.asarray(padded),
+        jnp.int32(length),
+        *(jnp.float32(x) for x in length_transitions(length)),
     )
+    return post[:length], total
 
 
 def viterbi_xla(profile: P7Profile, tokens, lengths, unroll: int = 1) -> jax.Array:

@@ -55,7 +55,17 @@ NEG_INF = float(-np.inf)
 # from f32 overflow when accumulated
 PAD_SCORE = -1.0e30
 
-LANES = 128  # batch tile (sequences per kernel program)
+LANES = 128  # minimum batch tile / padding granularity
+
+
+def pick_lanes(b_pad: int, m_pad: int, widest: int, m_cap: int) -> int:
+    """Widest lane tile that divides the padded batch, subject to a VMEM
+    cap on M (wider tiles multiply the [M_pad, lanes] carries): wider
+    tiles buy ILP on the serial DP step chain."""
+    lanes = widest
+    while lanes > LANES and (b_pad % lanes != 0 or m_pad > m_cap):
+        lanes //= 2
+    return max(lanes, LANES)
 DEFAULT_L_CHUNK = 256
 STEP_UNROLL = 32  # fori_loop body unroll (tools/kernel_lab.py sweep)
 
@@ -209,11 +219,9 @@ def msv_pallas_call(
     l_pad, b_pad = tokens_t.shape
     assert twenty == 20 and b_pad % LANES == 0 and l_pad % l_chunk == 0
     assert m_pad % 8 == 0
-    # 256-lane tiles beat 128 by ~6% on large batches (more ILP on the
-    # serial step chain); fall back to 128-lane tiles when the batch
-    # padding doesn't divide — and for large M, where the doubled carry
-    # plus per-step panels would pressure VMEM
-    lanes = 256 if (b_pad % 256 == 0 and m_pad <= 2048) else LANES
+    # 256-lane tiles beat 128 by ~6% on large batches; 512 regresses
+    # here (VMEM/panel pressure) — see docs/PERFORMANCE.md
+    lanes = pick_lanes(b_pad, m_pad, widest=256, m_cap=2048)
     # unrolling keeps several [M_pad, 128] panels live; scale it down for
     # large models to bound VMEM (unroll 32 measured through m_pad 2432,
     # the data's maximum; beyond that is extrapolated conservatively)

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.msv import length_transitions
 from ..models.p7 import P7Profile
-from .pallas_msv import LANES, NEG_INF, PAD_SCORE, _round_up
+from .pallas_msv import LANES, NEG_INF, PAD_SCORE, _round_up, pick_lanes
 
 DEFAULT_L_CHUNK = 256
 STEP_UNROLL = 8
@@ -250,7 +250,7 @@ def p7_pallas_call(
     # temporaries (emission selects, diag, chain passes): scale the
     # unroll down for large models to bound the VMEM scoped allocation;
     # 256-lane tiles (more ILP on the chain) when batch and VMEM allow
-    lanes = 512 if (b_pad % 512 == 0 and m_pad <= 2048) else (256 if (b_pad % 256 == 0 and m_pad <= 2048) else LANES)
+    lanes = pick_lanes(b_pad, m_pad, widest=512, m_cap=2048)
     if m_pad > 1536:
         unroll = min(unroll, 2)
     elif m_pad > 768:
@@ -590,7 +590,7 @@ def _fwd_prob_padded(
     """Jitted prob-space Forward over padded operands -> scores [B_pad]."""
     m_pad = modds_t.shape[0]
     l_pad, b_pad = tokens_i8_t.shape
-    lanes = 512 if (b_pad % 512 == 0 and m_pad <= 2048) else (256 if (b_pad % 256 == 0 and m_pad <= 2048) else LANES)
+    lanes = pick_lanes(b_pad, m_pad, widest=512, m_cap=2048)
     if m_pad > 1536:
         unroll = min(unroll, 2)
     elif m_pad > 768:

@@ -70,10 +70,11 @@ def _shift(x: np.ndarray) -> np.ndarray:
     return np.concatenate(([NEG_INF], x[:-1])).astype(np.float32)
 
 
-def _p7_oracle(p7, tokens: np.ndarray, combine, reduce_) -> np.float32:
+def _p7_oracle(p7, tokens: np.ndarray, combine, reduce_, record_rows=None):
     """Sequential full-profile DP in float32 — the golden model for both
     Viterbi (max) and Forward (logaddexp). Delete chain evaluated in
-    strict left-to-right scalar order."""
+    strict left-to-right scalar order. ``record_rows`` (a dict) collects
+    per-position M/I/D rows for posterior decoding."""
     tokens = np.asarray(tokens)
     seq_len = tokens.shape[0]
     mr = p7.num_states
@@ -110,6 +111,10 @@ def _p7_oracle(p7, tokens: np.ndarray, combine, reduce_) -> np.float32:
         n_st = np.float32(n_st + tr_loop)
         b_st = combine(np.float32(n_st + tr_move), np.float32(j_st + tr_move))
         m, i_st, d = new_m, new_i, new_d
+        if record_rows is not None:
+            record_rows["m"].append(m.copy())
+            record_rows["i"].append(i_st.copy())
+            record_rows["d"].append(d.copy())
 
     return np.float32(c_st + tr_move)
 
@@ -134,47 +139,15 @@ def _reduce_lse(x: np.ndarray) -> np.float32:
 def forward_rows(p7, tokens: np.ndarray):
     """Forward DP with per-position rows kept: (total, M, I, D) where
     each row array is [L+1, mr] (row t = state after consuming t tokens;
-    row 0 is the -inf init)."""
-    tokens = np.asarray(tokens)
-    seq_len = tokens.shape[0]
+    row 0 is the -inf init). Thin wrapper over the shared _p7_oracle so
+    there is exactly one NumPy Forward recurrence."""
     mr = p7.num_states
-    tr_loop, tr_move = length_transitions(seq_len)
-    lse = np.logaddexp
-
-    m = np.full(mr, NEG_INF, dtype=np.float32)
-    i_st = np.full(mr, NEG_INF, dtype=np.float32)
-    d = np.full(mr, NEG_INF, dtype=np.float32)
-    j_st = np.float32(NEG_INF)
-    c_st = np.float32(NEG_INF)
-    n_st = np.float32(0.0)
-    b_st = np.float32(tr_move)
-    rows_m, rows_i, rows_d = [m.copy()], [i_st.copy()], [d.copy()]
-
-    for t in range(seq_len):
-        aa = tokens[t]
-        ms = p7.msc[aa]
-        is_ = p7.isc[aa]
-        diag = lse(lse(_shift(m + p7.tmm), _shift(i_st + p7.tim)), _shift(d + p7.tdm))
-        new_m = (ms + lse(diag, np.float32(b_st + p7.tr_B_Mk))).astype(np.float32)
-        new_i = (is_ + lse(m + p7.tmi, i_st + p7.tii)).astype(np.float32)
-        new_d = np.full(mr, NEG_INF, dtype=np.float32)
-        for jj in range(1, mr):
-            new_d[jj] = lse(
-                np.float32(new_m[jj - 1] + p7.tmd[jj - 1]),
-                np.float32(new_d[jj - 1] + p7.tdd[jj - 1]),
-            )
-        e_st = lse(_reduce_lse(new_m), _reduce_lse(new_d))
-        j_st = np.float32(lse(np.float32(j_st + tr_loop), np.float32(e_st + p7.tr_E_J)))
-        c_st = np.float32(lse(np.float32(c_st + tr_loop), np.float32(e_st + p7.tr_E_C)))
-        n_st = np.float32(n_st + tr_loop)
-        b_st = np.float32(lse(np.float32(n_st + tr_move), np.float32(j_st + tr_move)))
-        m, i_st, d = new_m, new_i, new_d
-        rows_m.append(m.copy())
-        rows_i.append(i_st.copy())
-        rows_d.append(d.copy())
-
-    total = np.float32(c_st + tr_move)
-    return total, np.stack(rows_m), np.stack(rows_i), np.stack(rows_d)
+    init = np.full(mr, NEG_INF, dtype=np.float32)
+    rec = {"m": [init.copy()], "i": [init.copy()], "d": [init.copy()]}
+    total = _p7_oracle(
+        p7, tokens, np.logaddexp, np.logaddexp.reduce, record_rows=rec
+    )
+    return total, np.stack(rec["m"]), np.stack(rec["i"]), np.stack(rec["d"])
 
 
 def posterior_match(p7, tokens: np.ndarray):

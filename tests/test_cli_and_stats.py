@@ -122,7 +122,6 @@ def test_pvalue_calibration_sanity(profile_dir):
     against a HMMER-calibrated profile must behave like (sub-)uniform
     tail probabilities — not systematically significant."""
     from hmm_fasta_viterbi_tpu import MSVProfile, parse_hmm
-    from hmm_fasta_viterbi_tpu.io.hmmio import parse_hmm as _ph
     from hmm_fasta_viterbi_tpu.ops.xla_scan import msv_xla
 
     hmm = parse_hmm(profile_dir / "100.hmm")
@@ -137,3 +136,29 @@ def test_pvalue_calibration_sanity(profile_dir):
     # random (null-model) sequences: significance must be rare
     assert (pv <= 0.02).mean() <= 0.15, pv.min()
     assert np.median(pv) > 0.1
+
+
+def test_cli_sweep_json_out_is_valid_json(tmp_path, profile_dir, fasta_dir):
+    """Multi-profile sweep with --format json --out must emit ONE valid
+    JSON document, not concatenated arrays."""
+    import json as _json
+    import shutil
+
+    hmm_dir = tmp_path / "profiles"
+    hmm_dir.mkdir()
+    for stem in ("100", "200"):
+        shutil.copy(profile_dir / f"{stem}.hmm", hmm_dir)
+    out = tmp_path / "results.json"
+    rc = main(
+        [
+            "sweep",
+            "--hmm-dir", str(hmm_dir),
+            "--fasta", str(fasta_dir / "fasta_like_example.fsa"),
+            "--format", "json",
+            "--out", str(out),
+        ]
+    )
+    assert rc == 0
+    rows = _json.loads(out.read_text())
+    assert isinstance(rows, list)
+    assert len({r["profile"] for r in rows}) == 2  # one entry set per profile

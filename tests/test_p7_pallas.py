@@ -117,3 +117,24 @@ def test_forward_prob_space_mini_profile():
         forward_pallas(p7, tokens, lengths, interpret=True, prob_space=True)
     )
     np.testing.assert_allclose(got, want, atol=FWD_TOL, rtol=0)
+
+
+def test_wide_lane_tiles_vs_oracle(p7_100):
+    """Batch 260 -> b_pad 384 -> 128-lane tiles; batch 256 -> 256-lane
+    tiles: the wide-tile block specs must score identically (the TPU
+    bench always runs wide tiles; CI must cover them too)."""
+    rng = np.random.default_rng(31)
+    base_tokens = rng.integers(0, 20, size=(256, 64)).astype(np.int32)
+    base_lengths = np.full(256, 64, dtype=np.int32)
+    base_lengths[3] = 17
+    base_lengths[100] = 1
+    want = viterbi_oracle_batch(p7_100, base_tokens[:4], base_lengths[:4])
+    got = np.asarray(
+        viterbi_pallas(p7_100, base_tokens, base_lengths, interpret=True)
+    )[:4]
+    np.testing.assert_allclose(got, want, atol=VIT_TOL, rtol=0)
+    got_f = np.asarray(
+        forward_pallas(p7_100, base_tokens, base_lengths, interpret=True)
+    )[:4]
+    want_f = forward_oracle_batch(p7_100, base_tokens[:4], base_lengths[:4])
+    np.testing.assert_allclose(got_f, want_f, atol=FWD_TOL, rtol=0)
