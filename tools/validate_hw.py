@@ -1,0 +1,89 @@
+"""Hardware validation campaign: every device path vs its NumPy oracle
+on the real chip, across all 24 data profiles (docs/PARITY.md records a
+run of this). Exits non-zero on any tolerance breach.
+
+    python tools/validate_hw.py [--profiles N] [--p7-every K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from hmm_fasta_viterbi_tpu import MSVProfile, msv_oracle_batch, parse_hmm
+from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+from hmm_fasta_viterbi_tpu.ops.reference import (
+    forward_oracle_batch,
+    viterbi_oracle_batch,
+)
+from hmm_fasta_viterbi_tpu.pipeline import MSVScanner
+
+MSV_TOL = 1e-4
+FWD_TOL = 2e-3
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profiles", type=int, default=0, help="0 = all 24")
+    ap.add_argument("--p7-every", type=int, default=4,
+                    help="run the (slow) p7 oracles every K-th profile")
+    ap.add_argument("--seed", type=int, default=123)
+    args = ap.parse_args()
+
+    sc = MSVScanner()
+    rng = np.random.default_rng(args.seed)
+    paths = sorted(
+        (REPO / "data" / "profile_HMMs").glob("*.hmm"), key=lambda p: int(p.stem)
+    )
+    if args.profiles:
+        paths = paths[: args.profiles]
+
+    worst = {"msv": 0.0, "filter_gap": 0.0, "vit": 0.0, "fwd": 0.0}
+    violations = 0
+    for k, p in enumerate(paths):
+        hmm = parse_hmm(p)
+        prof = MSVProfile.from_profile(hmm)
+        lengths = np.array([256, 1, 97, 200, 13, 256], dtype=np.int32)
+        tokens = rng.integers(0, 20, size=(6, 256)).astype(np.int32)
+        staged = sc.stage(tokens, lengths)
+
+        want = msv_oracle_batch(prof, tokens, lengths)
+        got = np.asarray(sc.scan(prof, staged))
+        worst["msv"] = max(worst["msv"], float(np.abs(got - want).max()))
+
+        approx = np.asarray(sc.scan_filter(prof, staged))
+        violations += int((approx < got - 1e-6).sum())
+        worst["filter_gap"] = max(worst["filter_gap"], float((approx - got).max()))
+
+        if k % args.p7_every == 0:
+            p7 = P7Profile.from_profile(hmm)
+            wv = viterbi_oracle_batch(p7, tokens[:3], lengths[:3])
+            gv = np.asarray(sc.scan_p7(p7, staged, stage="viterbi"))[:3]
+            worst["vit"] = max(worst["vit"], float(np.abs(gv - wv).max()))
+            wf = forward_oracle_batch(p7, tokens[:3], lengths[:3])
+            gf = np.asarray(sc.scan_p7(p7, staged, stage="forward"))[:3]
+            worst["fwd"] = max(worst["fwd"], float(np.abs(gf - wf).max()))
+        print(f"[{k + 1}/{len(paths)}] {p.stem}: ok", flush=True)
+
+    print(f"msv maxerr      {worst['msv']:.3e}  (tol {MSV_TOL})")
+    print(f"filter gap max  {worst['filter_gap']:.3e}  violations: {violations}")
+    print(f"viterbi maxerr  {worst['vit']:.3e}  (tol {MSV_TOL})")
+    print(f"forward maxerr  {worst['fwd']:.3e}  (tol {FWD_TOL})")
+    ok = (
+        worst["msv"] <= MSV_TOL
+        and violations == 0
+        and worst["vit"] <= MSV_TOL
+        and worst["fwd"] <= FWD_TOL
+    )
+    print("VALIDATION", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
