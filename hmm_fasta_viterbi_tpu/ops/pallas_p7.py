@@ -357,12 +357,13 @@ def _fwd_prob_kernel(
     chain_ref,  # [M_pad, 16] f32 VMEM: tdd window PRODUCTS per pass
     tokens_ref,  # [L_CHUNK, LANES] int32
     lengths_ref,  # [1, LANES] int32
-    tr_row_ref,  # [2, LANES] f32: tr_loop, tr_move (LOG space)
+    tr_row_ref,  # [2, LANES] f32: tr_loop, tr_move (LOG space, final move)
+    tr_prob_ref,  # [2, LANES] f32: p_loop, p_move (host-exact PROBABILITIES)
     tr_const_ref,  # [1, 3] f32 SMEM: B->Mk, E->C, E->J PROBABILITIES
     m_in_ref,  # [M_pad, LANES] f32 prob-space carries
     i_in_ref,
     d_in_ref,
-    s_in_ref,  # [8, LANES] f32: J C N B log_scale (rows 5-7 unused)
+    s_in_ref,  # [8, LANES] f32: J C N B log_scale kahan_comp (6-7 unused)
     score_ref,  # [1, LANES] f32 log-space score
     m_out_ref,
     i_out_ref,
@@ -394,8 +395,11 @@ def _fwd_prob_kernel(
     p_b_mk = tr_const_ref[0, 0]
     p_e_c = tr_const_ref[0, 1]
     p_e_j = tr_const_ref[0, 2]
-    p_loop = jnp.exp(tr_row_ref[0:1, :])  # [1, LANES]
-    p_move = jnp.exp(tr_row_ref[1:2, :])
+    # host-exact probabilities: an in-kernel exp() of the log values has
+    # TPU-transcendental relative bias ~1e-6 which COMPOUNDS once per
+    # residue (measured 4e-2 nats of drift at L = 36864)
+    p_loop = tr_prob_ref[0:1, :]  # [1, LANES]
+    p_move = tr_prob_ref[1:2, :]
     lengths = lengths_ref[0:1, :]
     n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
 
@@ -453,7 +457,7 @@ def _fwd_prob_kernel(
         )
 
     def step(u, carry):
-        m, i_st, d, j_st, c_st, n_st, b_st, log_scale = carry
+        m, i_st, d, j_st, c_st, n_st, b_st, log_scale, comp = carry
         for k in range(unroll):
             m, i_st, d, j_st, c_st, n_st, b_st = one_step(
                 u * unroll + k, m, i_st, d, j_st, c_st, n_st, b_st
@@ -465,6 +469,12 @@ def _fwd_prob_kernel(
             jnp.maximum(n_st, jnp.float32(1e-30)),
         )
         inv = 1.0 / s
+        # Kahan-compensated log-scale sum: thousands of small f32
+        # increments onto a growing accumulator otherwise drift by
+        # ~ulp(total) * n_groups (measured 4e-2 nats at L = 36864)
+        y = jnp.log(s) - comp
+        t_sum = log_scale + y
+        comp = (t_sum - log_scale) - y
         return (
             m * inv,
             i_st * inv,
@@ -473,20 +483,22 @@ def _fwd_prob_kernel(
             c_st * inv,
             n_st * inv,
             b_st * inv,
-            log_scale + jnp.log(s),
+            t_sum,
+            comp,
         )
 
-    m, i_st, d, j_st, c_st, n_st, b_st, log_scale = jax.lax.fori_loop(
+    m, i_st, d, j_st, c_st, n_st, b_st, log_scale, comp = jax.lax.fori_loop(
         0, chunk_len // unroll, step,
-        (m0, i0, d0, s0[0:1, :], s0[1:2, :], s0[2:3, :], s0[3:4, :], s0[4:5, :]),
+        (m0, i0, d0, s0[0:1, :], s0[1:2, :], s0[2:3, :], s0[3:4, :],
+         s0[4:5, :], s0[5:6, :]),
     )
 
     m_out_ref[:, :] = m
     i_out_ref[:, :] = i_st
     d_out_ref[:, :] = d
-    pad = jnp.zeros((3, lanes), dtype=jnp.float32)
+    pad = jnp.zeros((2, lanes), dtype=jnp.float32)
     s_out_ref[:, :] = jnp.concatenate(
-        [j_st, c_st, n_st, b_st, log_scale, pad], axis=0
+        [j_st, c_st, n_st, b_st, log_scale, comp, pad], axis=0
     )
     # final C->T move stays in log space (tr_row is the log value)
     score_ref[:, :] = jnp.log(c_st) + log_scale + tr_row_ref[1:2, :]
@@ -585,9 +597,11 @@ def prepare_p7_device_prob(p7: P7Profile, m_pad: int | None = None):
 @functools.partial(jax.jit, static_argnames=("l_chunk", "interpret", "unroll"))
 def _fwd_prob_padded(
     modds_t, iodds_t, trans_t, chain_t, tokens_i8_t, lengths, tr_rows,
-    tr_consts, l_chunk: int, interpret: bool, unroll: int = STEP_UNROLL,
+    tr_probs, tr_consts, l_chunk: int, interpret: bool,
+    unroll: int = STEP_UNROLL,
 ):
-    """Jitted prob-space Forward over padded operands -> scores [B_pad]."""
+    """Jitted prob-space Forward over padded operands -> scores [B_pad].
+    ``tr_probs`` [2, B_pad] carries host-exact p_loop/p_move rows."""
     m_pad = modds_t.shape[0]
     l_pad, b_pad = tokens_i8_t.shape
     lanes = pick_lanes(b_pad, m_pad, widest=512, m_cap=2048)
@@ -604,7 +618,7 @@ def _fwd_prob_padded(
     core_init = jnp.zeros((m_pad, b_pad), dtype=jnp.float32)
     s_init = jnp.zeros((8, b_pad), dtype=jnp.float32)
     s_init = s_init.at[2].set(1.0)  # N = 1
-    s_init = s_init.at[3].set(jnp.exp(tr_rows[1]))  # B = move prob
+    s_init = s_init.at[3].set(tr_probs[1])  # B = move prob
 
     carry_spec = pl.BlockSpec(
         (m_pad, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM
@@ -621,13 +635,14 @@ def _fwd_prob_padded(
             pl.BlockSpec((l_chunk, lanes), lambda b, l: (l, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             carry_spec,
             carry_spec,
             carry_spec,
             s_spec,
         ],
-        input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
+        input_output_aliases={9: 1, 10: 2, 11: 3, 12: 4},
         out_specs=(
             pl.BlockSpec((1, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
             carry_spec,
@@ -648,10 +663,19 @@ def _fwd_prob_padded(
         interpret=interpret,
     )(
         modds_t, iodds_t, trans_t, chain_t,
-        tokens_i8_t.astype(jnp.int32), lengths2d, tr_rows, tr_consts,
-        core_init, core_init, core_init, s_init,
+        tokens_i8_t.astype(jnp.int32), lengths2d, tr_rows, tr_probs,
+        tr_consts, core_init, core_init, core_init, s_init,
     )
     return score[0]
+
+
+def length_transition_probs(lengths: np.ndarray) -> np.ndarray:
+    """[2, B] host-exact p_loop = L/(L+3), p_move = 3/(L+3) rows (f64
+    division, one correctly-rounded f32 narrowing — no log/exp trip)."""
+    lengths = np.asarray(lengths, dtype=np.float64)
+    p_loop = lengths / (lengths + 3.0)
+    p_move = 3.0 / (lengths + 3.0)
+    return np.stack([p_loop, p_move]).astype(np.float32)
 
 
 def _prepare_tokens(tokens, lengths, l_chunk):
@@ -729,6 +753,7 @@ def forward_pallas(
         jnp.asarray(tokens_t),
         jnp.asarray(lengths_p),
         jnp.asarray(tr_rows),
+        jnp.asarray(length_transition_probs(lengths_p)),
         jnp.asarray(packed[4]),
         l_chunk=l_chunk,
         interpret=interpret,

@@ -300,6 +300,11 @@ class MSVScanner:
                     staged.tokens_i8_t,
                     staged.lengths,
                     staged.tr_rows,
+                    jnp.asarray(
+                        pallas_p7.length_transition_probs(
+                            np.asarray(staged.lengths)
+                        )
+                    ),
                     dev[4],
                     l_chunk=self.l_chunk,
                     interpret=self.interpret,

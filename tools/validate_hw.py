@@ -71,6 +71,25 @@ def main() -> int:
             worst["fwd"] = max(worst["fwd"], float(np.abs(gf - wf).max()))
         print(f"[{k + 1}/{len(paths)}] {p.stem}: ok", flush=True)
 
+    # long-sequence drift check (TPU-only failure mode: transcendental
+    # bias compounding per residue is invisible to CPU-interpret tests)
+    p7 = P7Profile.from_profile(parse_hmm(paths[0]))
+    long_l = 36864
+    ltok = rng.integers(0, 20, size=(128, long_l)).astype(np.int32)
+    llen = np.full(128, long_l, dtype=np.int32)
+    lstaged = sc.stage(ltok, llen)
+    gv = np.asarray(sc.scan_p7(p7, lstaged, stage="viterbi"))[:1]
+    gf = np.asarray(sc.scan_p7(p7, lstaged, stage="forward"))[:1]
+    from hmm_fasta_viterbi_tpu.ops.pallas_p7 import forward_pallas
+
+    # referee: the log-space semiring kernel (f32-floor accuracy ~1e-3
+    # at this L; the TPU-exp bias bug drifted 4e-2 against it)
+    ref = np.asarray(
+        forward_pallas(p7, ltok[:1], llen[:1], prob_space=False)
+    )
+    long_drift = float(np.abs(gf[:1] - ref).max())
+    print(f"long-L prob-vs-log forward drift {long_drift:.3e}  (tol 5e-3)")
+
     print(f"msv maxerr      {worst['msv']:.3e}  (tol {MSV_TOL})")
     print(f"filter gap max  {worst['filter_gap']:.3e}  violations: {violations}")
     print(f"viterbi maxerr  {worst['vit']:.3e}  (tol {MSV_TOL})")
@@ -80,6 +99,8 @@ def main() -> int:
         and violations == 0
         and worst["vit"] <= MSV_TOL
         and worst["fwd"] <= FWD_TOL
+        and long_drift <= 5e-3
+        and np.all(np.isfinite(gv))
     )
     print("VALIDATION", "PASS" if ok else "FAIL")
     return 0 if ok else 1
