@@ -197,12 +197,14 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
     return 0
 
 
-def _domain_envelope(p7, tokens_row, length) -> tuple[int, int] | None:
-    """Posterior-decode a hit: the 1-based [env_from, env_to] span where
-    the SUMMED match-state posterior is >= 0.5 (HMMER-envelope-style
-    coverage of the position by the model core, any state).
-    Uses the jitted forward-backward decode (the NumPy oracle's scalar
-    delete-chain loop is minutes-slow at M ~ 1400)."""
+def _domain_envelope(p7, tokens_row, length) -> tuple[int, int, int] | None:
+    """Posterior-decode a hit: (env_from, env_to, ndom) where the 1-based
+    envelope spans positions whose SUMMED match-state posterior is
+    >= 0.5 (HMMER-envelope-style coverage of the position by the model
+    core, any state) and ndom counts contiguous covered segments (the
+    multihit domains of the nu = 2 model). Uses the jitted forward-
+    backward decode (the NumPy oracle's scalar delete-chain loop is
+    minutes-slow at M ~ 1400)."""
     from .ops.p7_scan import posterior_match_xla
 
     post, _ = posterior_match_xla(p7, np.asarray(tokens_row[:length]))
@@ -210,7 +212,8 @@ def _domain_envelope(p7, tokens_row, length) -> tuple[int, int] | None:
     idx = np.flatnonzero(covered)
     if not idx.size:
         return None
-    return int(idx[0]) + 1, int(idx[-1]) + 1
+    ndom = int((np.diff(idx) > 1).sum()) + 1
+    return int(idx[0]) + 1, int(idx[-1]) + 1, ndom
 
 
 def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
@@ -237,7 +240,7 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
         }
         if want_domains and result.passed_forward[i]:
             env = _domain_envelope(p7, tokens[i], int(lengths[i]))
-            row["env_from"], row["env_to"] = env if env else (0, 0)
+            row["env_from"], row["env_to"], row["ndom"] = env if env else (0, 0, 0)
         rows.append(row)
     if args.format == "json":
         if rows_sink is not None:
@@ -248,7 +251,7 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
     else:
         cols = "# target\tprofile\tmsv_bits\tmsv_p\tviterbi_p\tforward_p\thit"
         if want_domains:
-            cols += "\tenv_from\tenv_to"
+            cols += "\tenv_from\tenv_to\tndom"
         out.write(cols + "\n")
         for r in rows:
             line = (
@@ -256,7 +259,10 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
                 f"{r['viterbi_p']:.3e}\t{r['forward_p']:.3e}\t{int(r['hit'])}"
             )
             if want_domains:
-                line += f"\t{r.get('env_from', '')}\t{r.get('env_to', '')}"
+                line += (
+                    f"\t{r.get('env_from', '')}\t{r.get('env_to', '')}"
+                    f"\t{r.get('ndom', '')}"
+                )
             out.write(line + "\n")
 
 

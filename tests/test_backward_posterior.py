@@ -171,9 +171,30 @@ def test_cli_search_domains(tmp_path, profile_dir, capsys):
     hit_lines = [l for l in out.splitlines() if l.startswith("consensus")]
     assert hit_lines, out
     fields = hit_lines[0].split("\t")
-    env_from, env_to = int(fields[-2]), int(fields[-1])
-    # the consensus should be covered nearly end to end
+    env_from, env_to, ndom = int(fields[-3]), int(fields[-2]), int(fields[-1])
+    # the consensus should be covered nearly end to end, as one domain
     assert env_from <= 5 and env_to >= len(seq) - 5, (env_from, env_to)
+    assert ndom == 1
+
+    # two consensus copies joined by junk must decode as TWO domains
+    fasta2 = tmp_path / "hit2.fsa"
+    junk = "ACDEFGHIKLMNPQRSTVWY" * 3
+    fasta2.write_text(f">double\n{seq}{junk}{seq}\n")
+    rc = main(
+        [
+            "scan",
+            "--stage", "search",
+            "--domains",
+            "--backend", "xla",
+            "--hmm", str(profile_dir / "100.hmm"),
+            "--fasta", str(fasta2),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if l.startswith("double")][0]
+    f2 = line.split("\t")
+    assert int(f2[-1]) >= 2, line  # multihit: at least two segments
 
 
 def test_backward_xla_batched_matches_forward(p7_100):
