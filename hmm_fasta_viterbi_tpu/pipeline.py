@@ -29,6 +29,7 @@ import numpy as np
 from .io.fastaio import FastaDatabase
 from .models.msv import MSVProfile, length_transitions
 from .ops import pallas_msv
+from .ops.pallas_p7 import length_transition_probs
 from .ops.xla_scan import msv_scan_batch
 
 logger = logging.getLogger(__name__)
@@ -46,7 +47,8 @@ class StagedDatabase:
 
     tokens_i8_t: jax.Array  # [L_pad, B_pad] int8 (pallas layout)
     lengths: jax.Array  # [B_pad] int32
-    tr_rows: jax.Array  # [2, B_pad] f32
+    tr_rows: jax.Array  # [2, B_pad] f32 (log-space loop/move)
+    tr_probs: jax.Array  # [2, B_pad] f32 (host-exact probability rows)
     num_sequences: int  # true B before padding
     _tokens32: jax.Array | None = dataclasses.field(default=None, repr=False)
 
@@ -118,6 +120,7 @@ class MSVScanner:
             tokens_i8_t=jnp.asarray(tok_t),
             lengths=jnp.asarray(lengths_p),
             tr_rows=jnp.asarray(np.stack([tr_loop, tr_move]).astype(np.float32)),
+            tr_probs=jnp.asarray(length_transition_probs(lengths_p)),
             num_sequences=b,
         )
 
@@ -145,6 +148,7 @@ class MSVScanner:
             tokens_i8_t=tokens_i8_t,
             lengths=jnp.asarray(lengths_p),
             tr_rows=jnp.asarray(np.stack([tr_loop, tr_move]).astype(np.float32)),
+            tr_probs=jnp.asarray(length_transition_probs(lengths_p)),
             num_sequences=num_sequences if num_sequences is not None else b_pad,
         )
 
@@ -300,11 +304,7 @@ class MSVScanner:
                     staged.tokens_i8_t,
                     staged.lengths,
                     staged.tr_rows,
-                    jnp.asarray(
-                        pallas_p7.length_transition_probs(
-                            np.asarray(staged.lengths)
-                        )
-                    ),
+                    staged.tr_probs,
                     dev[4],
                     l_chunk=self.l_chunk,
                     interpret=self.interpret,

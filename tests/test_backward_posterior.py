@@ -192,9 +192,11 @@ def test_cli_search_domains(tmp_path, profile_dir, capsys):
     )
     assert rc == 0
     out = capsys.readouterr().out
-    line = [l for l in out.splitlines() if l.startswith("double")][0]
-    f2 = line.split("\t")
-    assert int(f2[-1]) >= 2, line  # multihit: at least two segments
+    lines = [l for l in out.splitlines() if l.startswith("double")]
+    assert lines, out  # the doubled consensus must still be a hit
+    f2 = lines[0].split("\t")
+    assert f2[-1] and f2[-1] != "0", lines[0]  # envelope must decode
+    assert int(f2[-1]) >= 2, lines[0]  # multihit: at least two segments
 
 
 def test_backward_xla_batched_matches_forward(p7_100):

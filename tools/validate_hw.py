@@ -35,6 +35,8 @@ def main() -> int:
                     help="run the (slow) p7 oracles every K-th profile")
     ap.add_argument("--seed", type=int, default=123)
     args = ap.parse_args()
+    if args.p7_every < 1:
+        ap.error("--p7-every must be >= 1")
 
     sc = MSVScanner()
     rng = np.random.default_rng(args.seed)
@@ -43,6 +45,14 @@ def main() -> int:
     )
     if args.profiles:
         paths = paths[: args.profiles]
+    if not paths:
+        print("no .hmm profiles found", file=sys.stderr)
+        return 2
+
+    def err_of(got, want):
+        """max abs error with NaN treated as +inf (NaN must FAIL)."""
+        e = np.abs(np.asarray(got) - np.asarray(want))
+        return float("inf") if np.isnan(e).any() else float(e.max())
 
     worst = {"msv": 0.0, "filter_gap": 0.0, "vit": 0.0, "fwd": 0.0}
     violations = 0
@@ -55,21 +65,32 @@ def main() -> int:
 
         want = msv_oracle_batch(prof, tokens, lengths)
         got = np.asarray(sc.scan(prof, staged))
-        worst["msv"] = max(worst["msv"], float(np.abs(got - want).max()))
+        e_msv = err_of(got, want)
+        worst["msv"] = max(worst["msv"], e_msv)
 
         approx = np.asarray(sc.scan_filter(prof, staged))
-        violations += int((approx < got - 1e-6).sum())
+        violations += int(
+            np.isnan(approx).sum() + (approx < got - 1e-6).sum()
+        )
         worst["filter_gap"] = max(worst["filter_gap"], float((approx - got).max()))
 
+        breach = e_msv > MSV_TOL
         if k % args.p7_every == 0:
             p7 = P7Profile.from_profile(hmm)
             wv = viterbi_oracle_batch(p7, tokens[:3], lengths[:3])
             gv = np.asarray(sc.scan_p7(p7, staged, stage="viterbi"))[:3]
-            worst["vit"] = max(worst["vit"], float(np.abs(gv - wv).max()))
+            e_vit = err_of(gv, wv)
+            worst["vit"] = max(worst["vit"], e_vit)
             wf = forward_oracle_batch(p7, tokens[:3], lengths[:3])
             gf = np.asarray(sc.scan_p7(p7, staged, stage="forward"))[:3]
-            worst["fwd"] = max(worst["fwd"], float(np.abs(gf - wf).max()))
-        print(f"[{k + 1}/{len(paths)}] {p.stem}: ok", flush=True)
+            e_fwd = err_of(gf, wf)
+            worst["fwd"] = max(worst["fwd"], e_fwd)
+            breach = breach or e_vit > MSV_TOL or e_fwd > FWD_TOL
+        print(
+            f"[{k + 1}/{len(paths)}] {p.stem}: "
+            + ("TOLERANCE BREACH" if breach else "ok"),
+            flush=True,
+        )
 
     # long-sequence drift check (TPU-only failure mode: transcendental
     # bias compounding per residue is invisible to CPU-interpret tests)
@@ -87,7 +108,7 @@ def main() -> int:
     ref = np.asarray(
         forward_pallas(p7, ltok[:1], llen[:1], prob_space=False)
     )
-    long_drift = float(np.abs(gf[:1] - ref).max())
+    long_drift = err_of(gf[:1], ref)
     print(f"long-L prob-vs-log forward drift {long_drift:.3e}  (tol 5e-3)")
 
     print(f"msv maxerr      {worst['msv']:.3e}  (tol {MSV_TOL})")
