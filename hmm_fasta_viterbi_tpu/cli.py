@@ -295,10 +295,20 @@ def cmd_sweep(args) -> int:
                 )
                 _report_search(hmm, db, result, args, out=sink, rows_sink=acc)
         return 0
+    bucketed = None
+    if getattr(args, "bucketed", False):
+        bucketed = scanner.stage_bucketed(tokens, lengths)
+        logger.info(
+            "bucketed staging: %d buckets, %.0f%% padded cells saved",
+            len(bucketed.buckets), 100 * bucketed.padded_cells_saved,
+        )
     with _out_sink(args) as sink, _json_accumulator(args, sink) as acc:
         for path in paths:
             profile = MSVProfile.from_profile(load_profile(path, prefer=args.loader))
-            scores = np.asarray(scanner.scan(profile, staged))
+            if bucketed is not None:
+                scores = scanner.scan_bucketed(profile, bucketed)
+            else:
+                scores = np.asarray(scanner.scan(profile, staged))
             _report(profile, db, scores, args, out=sink, rows_sink=acc)
     return 0
 
@@ -358,6 +368,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--fast",
         action="store_true",
         help="search stage: bf16 upper-bound MSV prefilter + exact rescore",
+    )
+    sweep.add_argument(
+        "--bucketed",
+        action="store_true",
+        help="length-bucketed staging for ragged databases (msv stage)",
     )
     _add_common(sweep)
     sweep.set_defaults(fn=cmd_sweep)
