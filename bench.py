@@ -40,7 +40,7 @@ from hmm_fasta_viterbi_tpu.bench.harness import (  # noqa: E402
     random_tokens,
 )
 from hmm_fasta_viterbi_tpu.pipeline import MSVScanner, _round_up  # noqa: E402
-from hmm_fasta_viterbi_tpu.ops.pallas_msv import LANES  # noqa: E402
+from hmm_fasta_viterbi_tpu.ops.pallas_msv import LANES, PAD_TOKEN  # noqa: E402
 
 
 def stage_random_device(scanner: MSVScanner, batch: int, seq_len: int):
@@ -58,8 +58,8 @@ def stage_random_device(scanner: MSVScanner, batch: int, seq_len: int):
     lengths = np.zeros(b_pad, dtype=np.int32)
     lengths[:batch] = seq_len
     if l_pad > seq_len:
-        # zero out pad steps so lengths masking is the only guard in play
-        tok = tok.at[seq_len:].set(0)
+        # out-of-alphabet pad: emission identity on padded steps
+        tok = tok.at[seq_len:].set(PAD_TOKEN)
     return scanner.stage_device(tok, lengths, num_sequences=batch)
 
 

@@ -56,6 +56,12 @@ NEG_INF = float(-np.inf)
 PAD_SCORE = -1.0e30
 
 LANES = 128  # minimum batch tile / padding granularity
+# padding token: OUTSIDE the 20-letter alphabet so padded steps select a
+# zero one-hot column (emission identity). A real-residue pad (0 = 'A')
+# lets a finished lane's unmasked prob-space M row compound that
+# residue's odds once per pad step — f32 overflow -> inf log_scale
+# (found by TPU fuzz). 127 fits int8 and is clamp-safe for XLA gathers.
+PAD_TOKEN = 127
 
 
 def pick_lanes(b_pad: int, m_pad: int, widest: int, m_cap: int) -> int:
@@ -365,7 +371,7 @@ def _prepare_batch(tokens, lengths, l_chunk):
     l_pad = _round_up(max(seq_len, 1), l_chunk)
     # int8 transport: tokens are 0..19, so ship 1/4 the bytes through the
     # (high-latency) host->device path and widen on device
-    tokens_t = np.zeros((l_pad, b_pad), dtype=np.int8)
+    tokens_t = np.full((l_pad, b_pad), PAD_TOKEN, dtype=np.int8)
     tokens_t[:seq_len, :b] = tokens.T
     lengths_p = np.zeros(b_pad, dtype=np.int32)
     lengths_p[:b] = lengths_np

@@ -38,7 +38,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.msv import length_transitions
 from ..models.p7 import P7Profile
-from .pallas_msv import LANES, NEG_INF, PAD_SCORE, _round_up, pick_lanes
+from .pallas_msv import (
+    LANES,
+    NEG_INF,
+    PAD_SCORE,
+    PAD_TOKEN,
+    _round_up,
+    pick_lanes,
+)
 
 DEFAULT_L_CHUNK = 256
 STEP_UNROLL = 8
@@ -685,7 +692,7 @@ def _prepare_tokens(tokens, lengths, l_chunk):
     b_pad = _round_up(max(b, 1), LANES)
     l_chunk = min(l_chunk, _round_up(max(seq_len, 1), 32))
     l_pad = _round_up(max(seq_len, 1), l_chunk)
-    tokens_t = np.zeros((l_pad, b_pad), dtype=np.int8)
+    tokens_t = np.full((l_pad, b_pad), PAD_TOKEN, dtype=np.int8)
     tokens_t[:seq_len, :b] = tokens.T
     lengths_p = np.zeros(b_pad, dtype=np.int32)
     lengths_p[:b] = lengths_np

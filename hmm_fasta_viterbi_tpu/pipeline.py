@@ -110,7 +110,7 @@ class MSVScanner:
         # once, so l_chunk-granular buckets beat power-of-2 padding waste
         l_pad = _round_up(max(seq_len, 1), self.l_chunk)
 
-        tok_t = np.zeros((l_pad, b_pad), dtype=np.int8)
+        tok_t = np.full((l_pad, b_pad), pallas_msv.PAD_TOKEN, dtype=np.int8)
         tok_t[:seq_len, :b] = tokens.T
         lengths_p = np.zeros(b_pad, dtype=np.int32)
         lengths_p[:b] = lengths

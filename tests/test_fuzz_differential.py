@@ -120,3 +120,37 @@ def test_fuzz_parsers_raise_cleanly():
             parse_fasta_text("".join(chars))
         except FastaParseError:
             pass  # the contract
+
+
+def test_prob_forward_pad_overflow_regression():
+    """Regression (found by TPU fuzz): with a real-residue pad token, a
+    finished lane's unmasked prob-space M row compounds that residue's
+    emission odds once per padded step — hundreds of pad steps overflow
+    f32 and poison log_scale to inf. The out-of-alphabet PAD_TOKEN makes
+    pad steps the emission identity."""
+    from hmm_fasta_viterbi_tpu.pipeline import MSVScanner
+
+    rng = np.random.default_rng(99)
+    # profile whose token-0 ('A') odds are large at every state
+    me = np.full((41, 20), 0.01 / 19, dtype=np.float32)
+    me[:, 0] = 0.99
+    me[0] = 0.0
+    ie = rng.dirichlet(np.full(20, 1.0), size=41).astype(np.float32)
+    tr = rng.dirichlet(np.full(7, 1.0), size=41).astype(np.float32)
+    hmm = ProfileHMM(
+        name="padfuzz", model_length=41, match_emissions=me,
+        insert_emissions=ie, transitions=tr,
+        stats_local_msv_mu=-5.0, stats_local_msv_lambda=0.7,
+        stats_local_viterbi_mu=-6.0, stats_local_viterbi_lambda=0.7,
+        stats_local_forward_theta=-2.0, stats_local_forward_lambda=0.7,
+    )
+    p7 = P7Profile.from_profile(hmm)
+    # short lengths + a big l_chunk -> hundreds of padded steps
+    sc = MSVScanner(backend="pallas", interpret=True, l_chunk=256)
+    lengths = np.array([10, 9, 12, 15, 4, 2], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(6, 17)).astype(np.int32)
+    staged = sc.stage(tokens, lengths)
+    got = np.asarray(sc.scan_p7(p7, staged, stage="forward"))
+    assert np.all(np.isfinite(got)), got
+    want = forward_oracle_batch(p7, tokens, lengths)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=0)
