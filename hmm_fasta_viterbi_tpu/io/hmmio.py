@@ -71,6 +71,21 @@ class ProfileHMM:
         return self.model_length - 1
 
 
+def _check_alphabet(text: str) -> None:
+    """Reject non-amino alphabets EXPLICITLY: a DNA/RNA profile has 4
+    emission columns and would otherwise mis-parse silently (the
+    reference has the same blind spot — Profile_HMM.cpp never reads
+    ALPH). Files without an ALPH line are accepted as amino."""
+    import re
+
+    m = re.search(r"^ALPH\s+(\S+)", text, re.MULTILINE)
+    if m and m.group(1).lower() != "amino":
+        raise HMMParseError(
+            f"unsupported alphabet {m.group(1)!r}: this engine scores "
+            "protein profiles (ALPH amino)"
+        )
+
+
 class HMMParseError(ValueError):
     """Raised on malformed ``.hmm`` input."""
 
@@ -130,6 +145,7 @@ def parse_hmm(
 
 
 def parse_hmm_text(text: str, *, star_as_zero_prob: bool = False) -> ProfileHMM:
+    _check_alphabet(text)
     lines = iter(text.splitlines())
 
     name_tokens = _lines_after_tag(lines, "NAME")

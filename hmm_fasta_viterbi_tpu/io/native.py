@@ -121,6 +121,18 @@ def native_available() -> bool:
 
 def parse_hmm_native(path) -> ProfileHMM:
     """Native .hmm parse -> the same ProfileHMM the Python parser builds."""
+    # alphabet guard BEFORE the C parser (which, like the reference,
+    # never reads ALPH and would mis-parse a 4-column DNA profile);
+    # I/O failures fall through so the native error path reports them
+    from .hmmio import _check_alphabet
+
+    try:
+        with open(path, "r", errors="replace") as fh:
+            head = fh.read(4096)
+    except OSError:
+        pass
+    else:
+        _check_alphabet(head)
     lib = _load()
     out = _FpHmm()
     rc = lib.fp_parse_hmm(str(path).encode(), ctypes.byref(out))

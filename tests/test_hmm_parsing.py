@@ -114,3 +114,11 @@ def test_malformed_raises():
     truncated = MINI_HMM.split("      2 ")[0]
     with pytest.raises(HMMParseError):
         parse_hmm_text(truncated)
+
+
+def test_non_amino_alphabet_rejected():
+    """A DNA profile has 4 emission columns and would mis-parse silently
+    (the reference never reads ALPH); reject it explicitly."""
+    dna = MINI_HMM.replace("ALPH  amino", "ALPH  DNA")
+    with pytest.raises(HMMParseError, match="alphabet"):
+        parse_hmm_text(dna)
