@@ -96,7 +96,22 @@ class MSVScanner:
         self.l_chunk = l_chunk
         self.m_bucket = m_bucket
         self.interpret = interpret
-        self._profile_cache: dict[int, tuple[jax.Array, jax.Array, int]] = {}
+        # cache entries are (profile_object, payload): the stored strong
+        # reference pins the object so its id() can never be recycled to
+        # a different profile (id-keyed caches silently return a STALE
+        # entry when a collected profile's address is reused — found as
+        # a 1-in-several-runs test flake with 100%-wrong scores)
+        self._profile_cache: dict = {}
+
+    def _cache_get(self, key, obj):
+        hit = self._profile_cache.get(key)
+        if hit is not None and hit[0] is obj:
+            return hit[1]
+        return None
+
+    def _cache_put(self, key, obj, payload):
+        self._profile_cache[key] = (obj, payload)
+        return payload
 
     # -- staging ---------------------------------------------------------
     def stage(self, tokens: np.ndarray, lengths: np.ndarray) -> StagedDatabase:
@@ -199,7 +214,7 @@ class MSVScanner:
     # -- profile upload (cached) ----------------------------------------
     def _device_profile(self, profile: MSVProfile):
         key = id(profile)
-        hit = self._profile_cache.get(key)
+        hit = self._cache_get(key, profile)
         if hit is not None:
             return hit
         mr = profile.num_states
@@ -209,8 +224,7 @@ class MSVScanner:
             [[profile.tr_B_Mk, profile.tr_E_C, profile.tr_E_J]], dtype=np.float32
         )
         entry = (jnp.asarray(scores_t), jnp.asarray(tr_consts), mr)
-        self._profile_cache[key] = entry
-        return entry
+        return self._cache_put(key, profile, entry)
 
     # -- scan ------------------------------------------------------------
     def scan(self, profile: MSVProfile, staged: StagedDatabase) -> jax.Array:
@@ -250,7 +264,7 @@ class MSVScanner:
         if self.backend != "pallas":
             return self.scan(profile, staged)
         key = (id(profile), "filter")
-        dev = self._profile_cache.get(key)
+        dev = self._cache_get(key, profile)
         if dev is None:
             # mr + 1 guarantees at least one ~-1e30 pad row, which lets
             # the kernel skip the per-step row0 wrap guard (27% faster)
@@ -260,8 +274,9 @@ class MSVScanner:
                 [[profile.tr_B_Mk, profile.tr_E_C, profile.tr_E_J]],
                 dtype=np.float32,
             )
-            dev = (jnp.asarray(scores_t), jnp.asarray(tr_consts))
-            self._profile_cache[key] = dev
+            dev = self._cache_put(
+                key, profile, (jnp.asarray(scores_t), jnp.asarray(tr_consts))
+            )
         out = pallas_msv._msv_pallas_padded(
             dev[0],
             staged.tokens_i8_t,
@@ -288,15 +303,16 @@ class MSVScanner:
             from .ops import pallas_p7
 
             key = (id(p7), "p7", stage)
-            dev = self._profile_cache.get(key)
+            dev = self._cache_get(key, p7)
             if dev is None:
                 packed = (
                     pallas_p7.prepare_p7_device_prob(p7)
                     if stage == "forward"
                     else pallas_p7.prepare_p7_device(p7)
                 )
-                dev = tuple(jnp.asarray(x) for x in packed)
-                self._profile_cache[key] = dev
+                dev = self._cache_put(
+                    key, p7, tuple(jnp.asarray(x) for x in packed)
+                )
             if stage == "forward":
                 # scaled-probability Forward kernel (see ops.pallas_p7)
                 out = pallas_p7._fwd_prob_padded(

@@ -182,3 +182,26 @@ def test_scan_many_filter_mode_upper_bound(scanner, profile_dir):
     for p in profiles:
         assert np.all(approx[p.name] >= exact[p.name] - 1e-6)
         assert np.all(approx[p.name] - exact[p.name] < 1.0)
+
+
+def test_profile_cache_id_reuse_regression(profile_dir):
+    """Regression: the device-profile cache was keyed by id(profile)
+    WITHOUT pinning the object — after GC, a new profile allocated at
+    the recycled address silently hit the stale entry (100%-wrong
+    scores, surfaced as a rare cross-test flake). Churn fresh profile
+    objects through one scanner and demand oracle parity every time."""
+    import gc
+
+    sc = MSVScanner(backend="xla")
+    rng = np.random.default_rng(17)
+    tokens = rng.integers(0, 20, size=(3, 64)).astype(np.int32)
+    lengths = np.full(3, 64, dtype=np.int32)
+    staged = sc.stage(tokens, lengths)
+    for i in range(12):
+        stem = ("100", "200")[i % 2]
+        profile = MSVProfile.from_profile(parse_hmm(profile_dir / f"{stem}.hmm"))
+        got = np.asarray(sc.scan(profile, staged))
+        want = msv_oracle_batch(profile, tokens, lengths)
+        np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
+        del profile
+        gc.collect()
