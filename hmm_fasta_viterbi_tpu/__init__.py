@@ -2,9 +2,10 @@
 
 A brand-new JAX / XLA / Pallas / pjit framework with the capabilities of
 the reference C++/OpenCL MSV engine (IvanTyulyandin/HMM_FASTA_Viterbi):
-HMMER3 ``.hmm`` + protein FASTA parsing, MSV score pre-expansion, and the
-MSV max-plus dynamic-programming scan — plus batched, multi-chip, and
-long-sequence-sharded execution that the reference lacks.
+HMMER3 ``.hmm`` + protein FASTA parsing, score pre-expansion, and the
+MSV / Viterbi / Forward / Backward dynamic-programming stages with
+posterior decoding — plus batched, multi-chip, and long-sequence-sharded
+execution that the reference lacks.
 """
 
 from .io.alphabet import AMINO_ACIDS, BACKGROUND_FREQUENCIES, NUM_AMINO_ACIDS

@@ -7,8 +7,9 @@ VMEM — zero host<->device round-trips per residue versus the reference's
 ~L*(3+log2 M) kernel launches (SURVEY.md §3.2).
 
 Layout (TPU-first, not a translation):
-* batch on LANES   — 128 sequences per tile, giving full VPU width on the
-  special-state updates and the B->Mk broadcast;
+* batch on LANES   — 128/256 sequences per tile (pick_lanes; wider tiles
+  buy ILP on the serial step chain), full VPU width on the special-state
+  updates and the B->Mk broadcast;
 * M states on SUBLANES — [M_pad, 128] f32 DP tile; the j-1 shift is a
   sublane rotate; the E reduction is a cross-sublane max;
 * grid (P, B_tiles, L_chunks): the residue loop is a ``fori_loop``
