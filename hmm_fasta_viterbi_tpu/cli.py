@@ -71,9 +71,14 @@ def _json_accumulator(args, sink):
         yield None
         return
     rows: list = []
-    yield rows
-    json.dump(rows, sink, indent=1)
-    sink.write("\n")
+    try:
+        yield rows
+    finally:
+        # dump even on a mid-sweep failure: --out was already truncated
+        # by the fail-fast open, so bailing here would discard every
+        # profile computed before the error (ADVICE r1)
+        json.dump(rows, sink, indent=1)
+        sink.write("\n")
 
 
 def _report(profile, db, scores: np.ndarray, args, out=None, stage="msv",

@@ -65,6 +65,26 @@ LANES = 128  # minimum batch tile / padding granularity
 PAD_TOKEN = 127
 
 
+def blank_ragged_tail(tokens_t: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """In-place: overwrite each lane's positions >= lengths[lane] with PAD_TOKEN.
+
+    Staging fills only the [seq_len:, :] and [:, b:] pad regions; a RAGGED
+    batch (per-lane length < batch max) otherwise keeps whatever the caller
+    padded rows with (FastaDatabase.encode pads with 0 = 'A'). Real-residue
+    tail tokens are live in the prob-space Forward kernel: finished lanes'
+    unmasked M/I carries compound that residue's odds each pad step, the
+    per-group rescale divides the frozen C state until it underflows, and
+    the score comes back -inf (silent false negative). Every host staging
+    path must route through this helper.
+    """
+    l_pad = tokens_t.shape[0]
+    lengths = np.asarray(lengths, dtype=np.int32)
+    tokens_t[np.arange(l_pad, dtype=np.int32)[:, None] >= lengths[None, :]] = (
+        PAD_TOKEN
+    )
+    return tokens_t
+
+
 def pick_lanes(b_pad: int, m_pad: int, widest: int, m_cap: int) -> int:
     """Widest lane tile that divides the padded batch, subject to a VMEM
     cap on M (wider tiles multiply the [M_pad, lanes] carries): wider
@@ -343,6 +363,34 @@ def prepare_scores_t(profile: MSVProfile, m_pad: int | None = None) -> np.ndarra
     return out
 
 
+def bf16_round_up(f32: np.ndarray):
+    """Round an f32 array to bf16 toward +inf (every output >= input).
+
+    The one-sided rounding that makes filter kernels sound: max-plus DP
+    is monotone in every score, so feeding values rounded UP yields a
+    guaranteed upper bound on the exact result."""
+    f32 = np.asarray(f32, dtype=np.float32)
+    hi = f32.astype(jnp.bfloat16)  # round-to-nearest
+    hi_f32 = hi.astype(np.float32)
+    below = hi_f32 < f32
+    u = hi.view(np.uint16)
+    # next bf16 toward +inf: raw+1 for positives, raw-1 for negatives
+    # (+0 -> smallest positive subnormal is raw 1, also handled by +1)
+    bumped = np.where(u & 0x8000, u - 1, u + 1).astype(np.uint16)
+    return np.where(below, bumped, u).view(jnp.bfloat16)
+
+
+def f32_round_up(x: np.ndarray) -> np.ndarray:
+    """Bump finite f32 entries one ulp toward +inf (-inf stays -inf).
+
+    Used on host-precomputed constants whose f64-exact value was rounded
+    to nearest: one ulp of slack guarantees >= any f32 evaluation order
+    the exact kernels / oracle may have used."""
+    x = np.asarray(x, dtype=np.float32)
+    out = np.nextafter(x, np.float32(np.inf), dtype=np.float32)
+    return np.where(np.isfinite(x), out, x)
+
+
 def prepare_scores_t_filter(profile: MSVProfile, m_pad: int | None = None) -> np.ndarray:
     """[M_pad, 20] BF16 score matrix rounded UP (toward +inf).
 
@@ -352,15 +400,7 @@ def prepare_scores_t_filter(profile: MSVProfile, m_pad: int | None = None) -> np
     produce no false negatives (the same one-sided-bias idea as HMMER's
     biased u8 MSV filter), only extra survivors for the exact rescore.
     """
-    f32 = prepare_scores_t(profile, m_pad)  # [M_pad, 20] f32
-    hi = f32.astype(jnp.bfloat16)  # round-to-nearest
-    hi_f32 = hi.astype(np.float32)
-    below = hi_f32 < f32
-    u = hi.view(np.uint16)
-    # next bf16 toward +inf: raw+1 for positives, raw-1 for negatives
-    # (+0 -> smallest positive subnormal is raw 1, also handled by +1)
-    bumped = np.where(u & 0x8000, u - 1, u + 1).astype(np.uint16)
-    return np.where(below, bumped, u).view(jnp.bfloat16)
+    return bf16_round_up(prepare_scores_t(profile, m_pad))
 
 
 def _prepare_batch(tokens, lengths, l_chunk):
@@ -376,6 +416,7 @@ def _prepare_batch(tokens, lengths, l_chunk):
     tokens_t[:seq_len, :b] = tokens.T
     lengths_p = np.zeros(b_pad, dtype=np.int32)
     lengths_p[:b] = lengths_np
+    blank_ragged_tail(tokens_t, lengths_p)
     tr_loop, tr_move = length_transitions(lengths_p)
     tr_rows = np.stack([tr_loop, tr_move]).astype(np.float32)
     return tokens_t, lengths_p, tr_rows, b, l_chunk

@@ -44,11 +44,18 @@ from .pallas_msv import (
     PAD_SCORE,
     PAD_TOKEN,
     _round_up,
+    bf16_round_up,
+    blank_ragged_tail,
+    f32_round_up,
     pick_lanes,
 )
 
 DEFAULT_L_CHUNK = 256
 STEP_UNROLL = 8
+# filter-mode delete chain: Hillis-Steele passes kept (covers D-runs of
+# length < 2**K exactly); longer runs are upper-bounded by one
+# max(a0)+tail term. See prepare_p7_device_filter.
+FILTER_CHAIN_LOG2 = 3
 
 
 def _split3(x):
@@ -68,6 +75,15 @@ def _select3(parts, onehot):
     acc += jax.lax.dot_general(mid, onehot, dn, preferred_element_type=jnp.float32)
     acc += jax.lax.dot_general(lo, onehot, dn, preferred_element_type=jnp.float32)
     return acc
+
+
+def _select1(scores_bf16, onehot):
+    """emit = scores @ onehot in ONE bf16 MXU pass (exact: a one-hot
+    select sums a single bf16 term into the f32 accumulator)."""
+    dn = (((1,), (0,)), ((), ()))
+    return jax.lax.dot_general(
+        scores_bf16, onehot, dn, preferred_element_type=jnp.float32
+    )
 
 
 def _lse2(x, y):
@@ -108,6 +124,7 @@ def _p7_kernel(
     *,
     unroll: int,
     forward: bool,
+    filter_window: int | None = None,
 ):
     l_idx = pl.program_id(1)
     chunk_len, lanes = tokens_ref.shape
@@ -118,8 +135,16 @@ def _p7_kernel(
         lambda x: jnp.max(x, axis=0, keepdims=True)
     )
 
-    msc_parts = _split3(msc_ref[:, :])
-    isc_parts = _split3(isc_ref[:, :])
+    if filter_window is None:
+        msc_parts = _split3(msc_ref[:, :])
+        isc_parts = _split3(isc_ref[:, :])
+        select = _select3
+    else:
+        # filter mode: scores arrive pre-rounded-up to bf16 — one MXU
+        # pass instead of three, still exact w.r.t. the bf16 values
+        msc_parts = msc_ref[:, :]
+        isc_parts = isc_ref[:, :]
+        select = _select1
     tmm = trans_ref[:, 0:1]
     tmi = trans_ref[:, 1:2]
     tmd = trans_ref[:, 2:3]
@@ -143,12 +168,26 @@ def _p7_kernel(
     # combine) so wrapped-around rolls die. Step-invariant, packed into
     # ONE lane-padded array (separate [M_pad, 1] consts each pad to 128
     # lanes in VMEM — 11 of them OOMed the 16 MB budget at M=1400).
-    n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+    full_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+    if filter_window is not None and filter_window < full_passes:
+        # truncated chain (filter mode only): passes 0..K-1 cover D-runs
+        # of length < 2^K exactly; any longer run's value is
+        #   a0[j-s] + (window sum of s >= 2^K tdd links)
+        #     <= max(a0) + 2^K * max(tdd)          (tdd <= 0)
+        # so ONE combine with that bound keeps the result an upper bound
+        # of the full chain. tail_bound rides in SMEM col 3.
+        n_passes, truncated = max(filter_window, 1), True
+        tail_bound = tr_const_ref[0, 3]
+    else:
+        n_passes, truncated = full_passes, False
 
     def delete_chain(a):
+        a0 = a
         for k in range(n_passes):
             rolled = pltpu.roll(a, shift=1 << k, axis=0)
             a = combine(a, rolled + chain_ref[:, k:k + 1])
+        if truncated:
+            a = combine(a, jnp.max(a0, axis=0, keepdims=True) + tail_bound)
         return a
 
     @pl.when(l_idx == 0)
@@ -169,8 +208,8 @@ def _p7_kernel(
     def one_step(t, m, i_st, d, j_st, c_st, n_st, b_st):
         tok = tokens_ref[pl.ds(t, 1), :]
         onehot = (aa_iota == tok).astype(jnp.bfloat16)
-        ms = _select3(msc_parts, onehot)  # [M_pad, LANES]
-        is_ = _select3(isc_parts, onehot)
+        ms = select(msc_parts, onehot)  # [M_pad, LANES]
+        is_ = select(isc_parts, onehot)
 
         # M: combine of {B entry, M/I/D diagonal}; the three j-1 shifts
         # share one roll by combining before rolling. No row0 mask is
@@ -227,7 +266,8 @@ def _p7_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("l_chunk", "interpret", "unroll", "forward")
+    jax.jit,
+    static_argnames=("l_chunk", "interpret", "unroll", "forward", "filter_window"),
 )
 def p7_pallas_call(
     msc_t: jax.Array,  # [M_pad, 20] f32
@@ -246,9 +286,14 @@ def p7_pallas_call(
     interpret: bool = False,
     unroll: int = STEP_UNROLL,
     forward: bool = False,
+    filter_window: int | None = None,
 ):
     """Raw kernel invocation over padded operands. Returns
-    (scores [B_pad], m/i/d carries [M_pad, B_pad], s carry [4, B_pad])."""
+    (scores [B_pad], m/i/d carries [M_pad, B_pad], s carry [4, B_pad]).
+
+    ``filter_window`` (Viterbi only) switches to the upper-bound filter
+    kernel: operands must come from prepare_p7_device_filter with the
+    SAME window, msc/isc as bf16."""
     m_pad, twenty = msc_t.shape
     l_pad, b_pad = tokens_t.shape
     assert twenty == 20 and b_pad % LANES == 0 and l_pad % l_chunk == 0
@@ -273,7 +318,12 @@ def p7_pallas_call(
     )
     s_spec = pl.BlockSpec((4, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM)
     score, m_out, i_out, d_out, s_out = pl.pallas_call(
-        functools.partial(_p7_kernel, unroll=unroll, forward=forward),
+        functools.partial(
+            _p7_kernel,
+            unroll=unroll,
+            forward=forward,
+            filter_window=filter_window,
+        ),
         grid=(num_b, num_l),
         in_specs=[
             pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
@@ -318,11 +368,12 @@ def p7_pallas_call(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("l_chunk", "interpret", "forward")
+    jax.jit, static_argnames=("l_chunk", "interpret", "forward", "filter_window")
 )
 def _p7_pallas_padded(
     msc_t, isc_t, trans_t, chain_t, tokens_i8_t, lengths, tr_rows,
     tr_consts, l_chunk: int, interpret: bool, forward: bool,
+    filter_window: int | None = None,
 ):
     """Jitted wrapper: DP init built on device; returns scores [B_pad]."""
     m_pad = msc_t.shape[0]
@@ -353,6 +404,7 @@ def _p7_pallas_padded(
         l_chunk=l_chunk,
         interpret=interpret,
         forward=forward,
+        filter_window=filter_window,
     )
     return score
 
@@ -554,6 +606,116 @@ def prepare_p7_device(p7: P7Profile, m_pad: int | None = None):
     return msc_t, isc_t, trans_t, chain_t, tr_consts
 
 
+def _f32_up(x64: np.ndarray) -> np.ndarray:
+    """Round f64 values to f32 toward +inf (output >= input; -inf kept)."""
+    y = x64.astype(np.float32)
+    below = y.astype(np.float64) < x64
+    bumped = np.nextafter(y, np.float32(np.inf), dtype=np.float32)
+    return np.where(below, bumped, y).astype(np.float32)
+
+
+def prepare_p7_device_filter(
+    p7: P7Profile,
+    m_pad: int | None = None,
+    window_log2: int = FILTER_CHAIN_LOG2,
+):
+    """Host packing for the upper-bound Viterbi FILTER kernel.
+
+    Returns (msc_bf16, isc_bf16, trans_t, chain_t, tr_consts4, window)
+    where ``window`` must be passed as the kernel's static
+    ``filter_window``. Soundness (filter score >= exact score for every
+    sequence) comes from max-plus monotonicity in every operand:
+
+    * emissions rounded UP to bf16 (one MXU select pass instead of 3);
+    * delete-chain pass constants built from one-ulp-bumped tdd links
+      with f64 window sums rounded up — >= any f32 evaluation order the
+      exact kernel or oracle used;
+    * D-runs longer than the truncated chain window are folded into one
+      max(a0) + 2^K*max(tdd) compensation term (see _p7_kernel).
+
+    The same zero-false-negative contract as the MSV prefilter
+    (pallas_msv.prepare_scores_t_filter): thresholding on these scores
+    can only ADD survivors for the exact rescore, never drop a hit.
+    The reference has no Viterbi stage at all (SURVEY.md scope note);
+    this mirrors HMMER's ViterbiFilter role in the cascade.
+    """
+    mr = p7.num_states
+    m_pad = m_pad or _round_up(max(mr, 8), 8)
+    msc_t, isc_t, trans_t, _, _ = prepare_p7_device(p7, m_pad)
+    msc_bf = bf16_round_up(msc_t)
+    isc_bf = bf16_round_up(isc_t)
+
+    # bumped shifted-tdd links (window-of-1 values)
+    tdd_s = np.concatenate(([np.float32(NEG_INF)], p7.tdd[:-1]))
+    tdd_up = f32_round_up(tdd_s)
+
+    full_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+    window = min(max(window_log2, 1), full_passes)
+    finite = tdd_up[np.isfinite(tdd_up)]
+    tdd_max = float(finite.max()) if finite.size else NEG_INF
+    if tdd_max > 0.0 or window >= full_passes:
+        # tdd > 0 (malformed profile: prob > 1) breaks the geometric
+        # tail bound — fall back to the full chain, still a valid filter
+        window = full_passes
+        tail_bound = np.float32(NEG_INF)
+    else:
+        tail_bound = _f32_up(np.float64(tdd_max) * (1 << window))
+
+    chain_t = np.full((m_pad, 16), NEG_INF, dtype=np.float32)
+    rows = np.arange(m_pad)
+    c_cur = np.full(m_pad, -np.inf, dtype=np.float64)
+    c_cur[:mr] = tdd_up[:mr].astype(np.float64)
+    with np.errstate(invalid="ignore"):
+        for k in range(window):
+            s = 1 << k
+            chain_t[:, k] = np.where(
+                rows < s, np.float32(NEG_INF), _f32_up(c_cur)
+            )
+            rolled = np.roll(c_cur, s)
+            c_cur = c_cur + np.where(rows < s, 0.0, rolled)
+
+    tr_consts = np.array(
+        [[p7.tr_B_Mk, p7.tr_E_C, p7.tr_E_J, tail_bound]], dtype=np.float32
+    )
+    return msc_bf, isc_bf, trans_t, chain_t, tr_consts, window
+
+
+def viterbi_filter_pallas(
+    p7: P7Profile,
+    tokens,
+    lengths,
+    l_chunk: int = DEFAULT_L_CHUNK,
+    interpret: bool = False,
+    window_log2: int = FILTER_CHAIN_LOG2,
+) -> jax.Array:
+    """Upper-bound Viterbi filter scores; f32 [B], every entry >= the
+    exact viterbi_pallas score of the same sequence (differential-
+    tested). Use to prune before the exact stage — HMMER ViterbiFilter's
+    role, built on TPU-native one-sided rounding instead of saturating
+    i16 SIMD."""
+    tokens_t, lengths_p, tr_rows, b, l_chunk = _prepare_tokens(
+        tokens, lengths, l_chunk
+    )
+    msc_bf, isc_bf, trans_t, chain_t, tr_consts, window = (
+        prepare_p7_device_filter(p7, window_log2=window_log2)
+    )
+    score = _p7_pallas_padded(
+        jnp.asarray(msc_bf),
+        jnp.asarray(isc_bf),
+        jnp.asarray(trans_t),
+        jnp.asarray(chain_t),
+        jnp.asarray(tokens_t),
+        jnp.asarray(lengths_p),
+        jnp.asarray(tr_rows),
+        jnp.asarray(tr_consts),
+        l_chunk=l_chunk,
+        interpret=interpret,
+        forward=False,
+        filter_window=window,
+    )
+    return score[:b]
+
+
 def prepare_p7_device_prob(p7: P7Profile, m_pad: int | None = None):
     """Host packing for the probability-space Forward kernel:
     (modds_t, iodds_t, trans_probs_t, chain_prod_t, tr_consts_prob).
@@ -696,6 +858,7 @@ def _prepare_tokens(tokens, lengths, l_chunk):
     tokens_t[:seq_len, :b] = tokens.T
     lengths_p = np.zeros(b_pad, dtype=np.int32)
     lengths_p[:b] = lengths_np
+    blank_ragged_tail(tokens_t, lengths_p)
     tr_loop, tr_move = length_transitions(lengths_p)
     tr_rows = np.stack([tr_loop, tr_move]).astype(np.float32)
     return tokens_t, lengths_p, tr_rows, b, l_chunk

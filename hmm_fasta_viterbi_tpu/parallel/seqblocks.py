@@ -276,12 +276,13 @@ def msv_scan_seqblocks_pallas(
     l_chunk = min(l_chunk, -(-seq_len // (num_sp * 32)) * 32)
     block = num_sp * l_chunk
     pad_l = -(-seq_len // block) * block
-    from ..ops.pallas_msv import PAD_TOKEN
+    from ..ops.pallas_msv import PAD_TOKEN, blank_ragged_tail
 
     tokens_t = np.full((pad_l, pad_b), PAD_TOKEN, dtype=np.int8)
     tokens_t[:seq_len, :b] = tokens.T
     lengths_p = np.zeros(pad_b, dtype=np.int32)
     lengths_p[:b] = lengths
+    blank_ragged_tail(tokens_t, lengths_p)
     tr_loop, tr_move = length_transitions(lengths_p)
     tr_rows = np.stack([tr_loop, tr_move]).astype(np.float32)
 

@@ -129,6 +129,7 @@ class MSVScanner:
         tok_t[:seq_len, :b] = tokens.T
         lengths_p = np.zeros(b_pad, dtype=np.int32)
         lengths_p[:b] = lengths
+        pallas_msv.blank_ragged_tail(tok_t, lengths_p)
         tr_loop, tr_move = length_transitions(lengths_p)
 
         return StagedDatabase(
@@ -150,7 +151,10 @@ class MSVScanner:
 
         ``tokens_i8_t`` is int8 [L_pad, B_pad] in the kernel layout with
         L_pad % l_chunk == 0 and B_pad % 128 == 0; ``lengths`` is the
-        host-side [B_pad] array. Used by the benchmark (device-generated
+        host-side [B_pad] array. CONTRACT: every lane's positions >=
+        lengths[lane] must already hold PAD_TOKEN (see
+        ops.pallas_msv.blank_ragged_tail) — real-residue ragged tails
+        corrupt the prob-space Forward kernel. Used by the benchmark (device-generated
         corpora: the remote-tunnel upload of a 57 MB batch costs ~75 s)
         and by callers slicing an existing staged database.
         """
@@ -288,6 +292,44 @@ class MSVScanner:
             exact=False,
             skip_row0_guard=True,
         )[0]
+        return out[: staged.num_sequences]
+
+    def scan_p7_filter(
+        self, p7, staged: StagedDatabase, window_log2: int | None = None
+    ) -> jax.Array:
+        """Upper-bound Viterbi prefilter over a staged database -> f32
+        [B]. Every score >= the exact scan_p7(stage="viterbi") score
+        (pallas_p7.prepare_p7_device_filter contract): thresholding on
+        it cannot drop a hit, only pass extra survivors to the exact
+        rescore. Falls back to the exact scan off the pallas backend."""
+        if self.backend != "pallas":
+            return self.scan_p7(p7, staged, stage="viterbi")
+        from .ops import pallas_p7
+
+        if window_log2 is None:
+            window_log2 = pallas_p7.FILTER_CHAIN_LOG2
+        key = (id(p7), "p7_filter", window_log2)
+        dev = self._cache_get(key, p7)
+        if dev is None:
+            packed = pallas_p7.prepare_p7_device_filter(
+                p7, window_log2=window_log2
+            )
+            dev = self._cache_put(
+                key,
+                p7,
+                tuple(jnp.asarray(x) for x in packed[:5]) + (packed[5],),
+            )
+        out = pallas_p7._p7_pallas_padded(
+            *dev[:4],
+            staged.tokens_i8_t,
+            staged.lengths,
+            staged.tr_rows,
+            dev[4],
+            l_chunk=self.l_chunk,
+            interpret=self.interpret,
+            forward=False,
+            filter_window=dev[5],
+        )
         return out[: staged.num_sequences]
 
     # -- full-profile stages over a staged database -----------------------
@@ -487,6 +529,7 @@ class SearchPipeline:
         viterbi_p: float = 1e-3,
         forward_p: float = 1e-5,
         fast_msv: bool = False,
+        fast_viterbi: bool = False,
     ):
         self.scanner = scanner or MSVScanner()
         self.msv_p = msv_p
@@ -496,6 +539,10 @@ class SearchPipeline:
         # exactly rescore only its survivors (no false negatives by
         # construction — scan_filter docstring)
         self.fast_msv = fast_msv
+        # fast_viterbi: same one-sided-rounding trick applied to the
+        # Viterbi stage (truncated-chain bf16 filter kernel, HMMER
+        # ViterbiFilter's role) — exact-rescore only its survivors
+        self.fast_viterbi = fast_viterbi
 
     def _p7_fns(self):
         """Viterbi/Forward implementations following the scanner backend
@@ -537,10 +584,32 @@ class SearchPipeline:
         idx = np.flatnonzero(passed_msv)
         if idx.size:
             p7 = P7Profile.from_profile(hmm)
-            vs = np.asarray(viterbi_fn(p7, tokens[idx], lengths[idx]))
-            vit_scores[idx] = vs
-            vit_pv[idx] = stats.viterbi_pvalue(vs, hmm)
-            passed_vit[idx] = vit_pv[idx] <= self.viterbi_p
+            if self.fast_viterbi and self.scanner.backend == "pallas":
+                # upper-bound prefilter: its p-values LOWER-bound the
+                # exact ones (pvalue is decreasing in score), so a
+                # filter rejection is an exact rejection; rescore only
+                # the filter's survivors with the exact kernel
+                from .ops.pallas_p7 import viterbi_filter_pallas
+
+                vf = np.array(
+                    viterbi_filter_pallas(
+                        p7, tokens[idx], lengths[idx],
+                        interpret=self.scanner.interpret,
+                    )
+                )
+                vit_scores[idx] = vf
+                vit_pv[idx] = stats.viterbi_pvalue(vf, hmm)
+                idx = idx[vit_pv[idx] <= self.viterbi_p]
+                if idx.size:
+                    vs = np.asarray(viterbi_fn(p7, tokens[idx], lengths[idx]))
+                    vit_scores[idx] = vs
+                    vit_pv[idx] = stats.viterbi_pvalue(vs, hmm)
+                    passed_vit[idx] = vit_pv[idx] <= self.viterbi_p
+            else:
+                vs = np.asarray(viterbi_fn(p7, tokens[idx], lengths[idx]))
+                vit_scores[idx] = vs
+                vit_pv[idx] = stats.viterbi_pvalue(vs, hmm)
+                passed_vit[idx] = vit_pv[idx] <= self.viterbi_p
 
             idx2 = np.flatnonzero(passed_vit)
             if idx2.size:

@@ -138,3 +138,72 @@ def test_wide_lane_tiles_vs_oracle(p7_100):
     )[:4]
     want_f = forward_oracle_batch(p7_100, base_tokens[:4], base_lengths[:4])
     np.testing.assert_allclose(got_f, want_f, atol=FWD_TOL, rtol=0)
+
+
+def test_forward_pallas_ragged_long_tail_regression():
+    """ADVICE r1 (high): short lanes of a ragged batch kept caller junk
+    tokens between lengths[b] and the batch max (encode() pads with
+    0='A'); the prob-space kernel's frozen C carry was then rescaled
+    against the junk lane's growing odds until it underflowed to 0 ->
+    log(C) = -inf (silent false negative). Insert emissions biased
+    toward 'A' force per-step odds growth > 1 so a 512-token junk tail
+    reliably underflows without the staging-time PAD fill."""
+    biased = MINI_HMM.replace("          3.0  ", "          0.05  ")
+    p7 = P7Profile.from_profile(parse_hmm_text(biased))
+    width = 512
+    rng = np.random.default_rng(7)
+    tokens = np.zeros((2, width), dtype=np.int32)  # junk tail = 0 = 'A'
+    tokens[0] = rng.integers(0, 20, size=width)
+    lengths = np.array([width, 6], dtype=np.int32)
+    want = forward_oracle_batch(p7, tokens, lengths)
+    got = np.asarray(forward_pallas(p7, tokens, lengths, interpret=True))
+    assert np.isfinite(got).all(), got
+    np.testing.assert_allclose(got, want, atol=FWD_TOL, rtol=0)
+
+
+# ---- upper-bound Viterbi filter (VERDICT r1 #1) -----------------------
+
+def test_viterbi_filter_upper_bound(p7_100):
+    """Filter scores must dominate the exact scores for every lane
+    (zero-false-negative contract). p7_100 pads to m_pad=104, so the
+    default window (2^3) truncates the chain and the tail-compensation
+    term is live."""
+    from hmm_fasta_viterbi_tpu.ops.pallas_p7 import viterbi_filter_pallas
+
+    tokens, lengths = _ragged(seed=11)
+    exact = np.asarray(viterbi_pallas(p7_100, tokens, lengths, interpret=True))
+    filt = np.asarray(
+        viterbi_filter_pallas(p7_100, tokens, lengths, interpret=True)
+    )
+    assert np.all(filt >= exact - 1e-6), (filt - exact).min()
+    # the bound must stay useful: bf16 round-up adds ~0.4% relative per
+    # emission and the chain compensation a few nats at most
+    assert np.all(filt <= exact + 10.0), (filt - exact).max()
+
+
+@pytest.mark.parametrize("window", [1, 2, 3, 10])
+def test_viterbi_filter_window_sweep(p7_100, window):
+    """Every truncation window keeps the upper bound; window=10 exceeds
+    full_passes (=7 at m_pad 104) and exercises the untruncated path."""
+    from hmm_fasta_viterbi_tpu.ops.pallas_p7 import viterbi_filter_pallas
+
+    tokens, lengths = _ragged(seed=window)
+    exact = np.asarray(viterbi_pallas(p7_100, tokens, lengths, interpret=True))
+    filt = np.asarray(
+        viterbi_filter_pallas(
+            p7_100, tokens, lengths, interpret=True, window_log2=window
+        )
+    )
+    assert np.all(filt >= exact - 1e-6), (window, (filt - exact).min())
+
+
+def test_viterbi_filter_star_tdd_quirk():
+    """A '*' d->d field parses as prob 1.0 -> tdd log 0 (SURVEY quirk 1);
+    the geometric tail bound degenerates to max(a0)+0 — still sound."""
+    from hmm_fasta_viterbi_tpu.ops.pallas_p7 import viterbi_filter_pallas
+
+    p7 = P7Profile.from_profile(parse_hmm_text(MINI_HMM))
+    tokens, lengths = _ragged(seed=4, width=64)
+    exact = np.asarray(viterbi_pallas(p7, tokens, lengths, interpret=True))
+    filt = np.asarray(viterbi_filter_pallas(p7, tokens, lengths, interpret=True))
+    assert np.all(filt >= exact - 1e-6)
