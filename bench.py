@@ -60,6 +60,11 @@ def stage_random_device(scanner: MSVScanner, batch: int, seq_len: int):
     if l_pad > seq_len:
         # out-of-alphabet pad: emission identity on padded steps
         tok = tok.at[seq_len:].set(PAD_TOKEN)
+    if b_pad > batch:
+        # pad LANES (length 0) must also hold the pad token — the
+        # stage_device contract (ragged real-residue tails corrupt the
+        # prob-space Forward kernel)
+        tok = tok.at[:, batch:].set(PAD_TOKEN)
     return scanner.stage_device(tok, lengths, num_sequences=batch)
 
 
@@ -96,6 +101,17 @@ class _P7StageScanner:
         return self._scanner.scan_p7(profile, staged, stage=self._stage)
 
 
+class _P7FilterScanner:
+    """Adapter: bench_staged -> MSVScanner.scan_p7_filter (the
+    upper-bound Viterbi prefilter kernel)."""
+
+    def __init__(self, scanner: MSVScanner):
+        self._scanner = scanner
+
+    def scan(self, profile, staged):
+        return self._scanner.scan_p7_filter(profile, staged)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
@@ -119,6 +135,19 @@ def main() -> int:
     ap.add_argument(
         "--no-m2405", dest="m2405", action="store_false", default=True,
         help="skip the M=2405 headline timing",
+    )
+    ap.add_argument(
+        "--no-cascade", dest="cascade", action="store_false", default=True,
+        help="skip the end-to-end search-cascade timing",
+    )
+    ap.add_argument(
+        "--oracle", action="store_true",
+        help="also report the NumPy sequential oracle's GCUPS for context",
+    )
+    ap.add_argument(
+        "--strict", action="store_true",
+        help="fail (nonzero exit) if any extra benchmark errors instead "
+        "of recording it in the JSON 'errors' field",
     )
     args = ap.parse_args()
 
@@ -146,15 +175,22 @@ def main() -> int:
     print(f"# headline: {primary.gcups:.2f} GCUPS ({primary.seconds*1e3:.1f} ms)", file=sys.stderr)
 
     extras: list[BenchResult] = []
+    errors: list[str] = []
 
     def _extra(fn):
         # an extra must never cost the primary metric (remote compiles
         # through the tunnel are slow and uncached; a failure or
-        # timeout in one extra should not kill the JSON line)
+        # timeout in one extra should not kill the JSON line) — but a
+        # dropped extra is recorded in the JSON 'errors' field so it
+        # cannot vanish silently; --strict turns it into a hard failure
         try:
             fn()
         except Exception as e:  # pragma: no cover - defensive
-            print(f"# extra failed: {type(e).__name__}: {e}", file=sys.stderr)
+            if args.strict:
+                raise
+            msg = f"{getattr(fn, '__name__', 'extra')}: {type(e).__name__}: {e}"
+            errors.append(msg)
+            print(f"# extra failed: {msg}", file=sys.stderr)
 
     def run_sweep():
         import time as _time
@@ -278,9 +314,108 @@ def main() -> int:
                 f"# {nm}: {r.gcups:.2f} GCUPS ({r.seconds*1e3:.1f} ms, batch {sb})",
                 file=sys.stderr,
             )
+        if scanner.backend == "pallas":
+            r = bench_staged(
+                f"viterbi_filter_1400_{scanner.backend}",
+                _P7FilterScanner(scanner),
+                p7,
+                s_staged,
+                args.reps,
+            )
+            extras.append(r)
+            print(
+                f"# viterbi-filter: {r.gcups:.2f} GCUPS "
+                f"({r.seconds*1e3:.1f} ms, batch {sb})",
+                file=sys.stderr,
+            )
 
     if args.stages:
         _extra(run_stages)
+
+    def run_cascade():
+        # end-to-end hmmsearch-style cascade over a host-staged batch
+        # (SearchPipeline needs host tokens for survivor rescoring);
+        # GCUPS denominates in MSV cells — the work a plain scan does
+        import time as _time
+
+        from hmm_fasta_viterbi_tpu.pipeline import SearchPipeline
+
+        cb = min(args.batch, 4096)
+        c_tokens, c_lengths = (
+            (tokens[:cb], lengths[:cb])
+            if tokens is not None
+            else random_tokens(cb, args.seq_len, seed=0)
+        )
+        c_staged = scanner.stage(c_tokens, c_lengths)
+        hmm = parse_hmm(profile_dir / "1400.hmm")
+        cells = int(c_lengths.astype(np.int64).sum()) * (
+            headline_profile.model_length - 1
+        )
+        for label, pipe in (
+            ("cascade_1400", SearchPipeline(scanner)),
+            (
+                "cascade_fast_1400",
+                SearchPipeline(scanner, fast_msv=True, fast_viterbi=True),
+            ),
+        ):
+            pipe.search(hmm, c_staged, c_tokens, c_lengths)  # warmup
+            best = float("inf")
+            for _ in range(max(args.reps, 2)):
+                t0 = _time.perf_counter()
+                pipe.search(hmm, c_staged, c_tokens, c_lengths)
+                best = min(best, _time.perf_counter() - t0)
+            extras.append(
+                BenchResult(
+                    name=f"{label}_{scanner.backend}",
+                    gcups=cells / best / 1e9,
+                    seconds=best,
+                    cells=cells,
+                    batch=cb,
+                    seq_len=args.seq_len,
+                    model_length=headline_profile.model_length,
+                    repetitions=max(args.reps, 2),
+                )
+            )
+            print(
+                f"# {label}: {cells/best/1e9:.2f} GCUPS ({best*1e3:.1f} ms, "
+                f"batch {cb})",
+                file=sys.stderr,
+            )
+
+    if args.cascade and scanner.backend == "pallas":
+        _extra(run_cascade)
+
+    def run_oracle():
+        # sequential NumPy oracle throughput for context — the bench
+        # path the reference's Algorithm_selector::seq would take
+        # (algorithms/benchmark_helper.hpp:6)
+        import time as _time
+
+        from hmm_fasta_viterbi_tpu.ops.reference import msv_oracle_batch
+
+        o_tokens, o_lengths = random_tokens(2, args.seq_len, seed=0)
+        t0 = _time.perf_counter()
+        msv_oracle_batch(headline_profile, o_tokens, o_lengths)
+        dt = _time.perf_counter() - t0
+        cells = int(o_lengths.astype(np.int64).sum()) * (
+            headline_profile.model_length - 1
+        )
+        extras.append(
+            BenchResult(
+                name="oracle_msv_numpy",
+                gcups=cells / dt / 1e9,
+                seconds=dt,
+                cells=cells,
+                batch=2,
+                seq_len=args.seq_len,
+                model_length=headline_profile.model_length,
+                repetitions=1,
+            )
+        )
+        print(f"# oracle: {cells/dt/1e9:.3f} GCUPS ({dt*1e3:.0f} ms)", file=sys.stderr)
+
+    if args.oracle:
+        _extra(run_oracle)
 
     def run_e2e():
         from hmm_fasta_viterbi_tpu.ops.pallas_msv import msv_pallas
@@ -306,7 +441,7 @@ def main() -> int:
     scores = np.asarray(scanner.scan(headline_profile, staged))
     assert np.all(np.isfinite(scores)), "benchmark scan produced non-finite scores"
 
-    print(emit_json_line(primary, extras))
+    print(emit_json_line(primary, extras, errors=errors))
     return 0
 
 

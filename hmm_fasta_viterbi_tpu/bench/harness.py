@@ -136,8 +136,15 @@ def bench_profile(
     )
 
 
-def emit_json_line(primary: BenchResult, extras: list[BenchResult]) -> str:
-    """The single JSON line the driver records (BENCH_r{N}.json)."""
+def emit_json_line(
+    primary: BenchResult,
+    extras: list[BenchResult],
+    errors: list[str] | None = None,
+) -> str:
+    """The single JSON line the driver records (BENCH_r{N}.json).
+
+    ``errors`` lists extras that failed and were dropped — recorded so a
+    missing stage benchmark is visible in the artifact, not silent."""
     payload = {
         "metric": f"GCUPS_M{primary.model_length - 1}",
         "value": round(primary.gcups, 3),
@@ -146,6 +153,7 @@ def emit_json_line(primary: BenchResult, extras: list[BenchResult]) -> str:
         "detail": {
             "primary": primary.to_json(),
             "extras": [e.to_json() for e in extras],
+            "errors": errors or [],
             "baseline_anchor": "1 GCUPS == 14.7 ms per reference 1400-profile pass (BASELINE.md)",
         },
     }

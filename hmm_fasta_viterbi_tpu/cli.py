@@ -42,6 +42,30 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--config", default=None, help="EngineConfig JSON path")
     ap.add_argument("--profile-trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the scan into DIR")
+    ap.add_argument(
+        "--mesh", default=None, metavar="SPEC",
+        help="shard scans over a device mesh: 'db=N[,sp=M]' or just 'N' "
+        "(db axis size; default uses all devices, e.g. --mesh db=8)",
+    )
+
+
+def _parse_mesh(spec: str) -> dict:
+    """'db=8,sp=1' | '8' | 'all' -> make_scan_mesh kwargs."""
+    out: dict = {}
+    if spec.strip().lower() == "all":
+        return out
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" in part:
+            k, v = part.split("=", 1)
+            if k.strip() not in ("db", "sp"):
+                raise ValueError(f"unknown mesh axis {k!r} (use db/sp)")
+            out[k.strip()] = int(v)
+        else:
+            out["db"] = int(part)
+    return out
 
 
 _PVALUE_FNS = {
@@ -138,13 +162,29 @@ def cmd_scan(args) -> int:
 
 
 def _make_scanner(args) -> MSVScanner:
+    mesh = None
+    if getattr(args, "mesh", None):
+        from .parallel.mesh import make_scan_mesh
+
+        kwargs = _parse_mesh(args.mesh)
+        kwargs.pop("sp", None)  # scan sharding uses the db axis
+        mesh = make_scan_mesh(**kwargs)
+        logger.info("mesh: %s", dict(mesh.shape))
     if getattr(args, "config", None):
         from .runtime.config import EngineConfig
 
         cfg = EngineConfig.from_json(args.config)
         if args.backend != "auto":
             cfg.backend = args.backend
-        return MSVScanner.from_config(cfg)
+        scanner = MSVScanner.from_config(cfg)
+        if mesh is not None and scanner.mesh is None:
+            scanner = MSVScanner(
+                backend=scanner.backend, l_chunk=scanner.l_chunk,
+                m_bucket=scanner.m_bucket, mesh=mesh,
+            )
+        return scanner
+    if mesh is not None:
+        return MSVScanner(backend=args.backend, mesh=mesh)
     return MSVScanner(backend=args.backend)
 
 
@@ -173,7 +213,8 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
         from .pipeline import SearchPipeline
 
         staged = scanner.stage(tokens, lengths)
-        pipeline = SearchPipeline(scanner, fast_msv=getattr(args, "fast", False))
+        fast = getattr(args, "fast", False)
+        pipeline = SearchPipeline(scanner, fast_msv=fast, fast_viterbi=fast)
         result = pipeline.search(hmm, staged, tokens, lengths)
         dt = time.perf_counter() - t0
         logger.info(
@@ -202,23 +243,37 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
     return 0
 
 
-def _domain_envelope(p7, tokens_row, length) -> tuple[int, int, int] | None:
-    """Posterior-decode a hit: (env_from, env_to, ndom) where the 1-based
-    envelope spans positions whose SUMMED match-state posterior is
-    >= 0.5 (HMMER-envelope-style coverage of the position by the model
-    core, any state) and ndom counts contiguous covered segments (the
-    multihit domains of the nu = 2 model). Uses the jitted forward-
-    backward decode (the NumPy oracle's scalar delete-chain loop is
-    minutes-slow at M ~ 1400)."""
-    from .ops.p7_scan import posterior_match_xla
-
-    post, _ = posterior_match_xla(p7, np.asarray(tokens_row[:length]))
-    covered = np.asarray(post).sum(axis=1) >= 0.5
+def _envelope_from_coverage(cov_row: np.ndarray, length: int):
+    """(env_from, env_to, ndom) from a summed match-posterior coverage
+    row: the 1-based envelope spans positions with coverage >= 0.5
+    (HMMER-envelope-style: the position is in the model core with
+    posterior majority) and ndom counts contiguous covered segments (the
+    multihit domains of the nu = 2 model)."""
+    covered = cov_row[:length] >= 0.5
     idx = np.flatnonzero(covered)
     if not idx.size:
         return None
     ndom = int((np.diff(idx) > 1).sum()) + 1
     return int(idx[0]) + 1, int(idx[-1]) + 1, ndom
+
+
+def _hit_envelopes(p7, tokens, lengths, hit_idx: np.ndarray) -> dict:
+    """Batched posterior decode of all hits: ONE vmapped device call per
+    32-hit chunk (ops.p7_scan.posterior_coverage_batch_xla) instead of a
+    per-hit forward+backward loop — --domains wall time is sublinear in
+    hit count."""
+    from .ops.p7_scan import posterior_coverage_batch_xla
+
+    if not hit_idx.size:
+        return {}
+    l_max = max(int(lengths[hit_idx].max()), 1)
+    cov, _ = posterior_coverage_batch_xla(
+        p7, tokens[hit_idx, :l_max], lengths[hit_idx]
+    )
+    return {
+        int(i): _envelope_from_coverage(cov[k], int(lengths[i]))
+        for k, i in enumerate(hit_idx)
+    }
 
 
 def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
@@ -232,6 +287,11 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
         p7 = P7Profile.from_profile(hmm)
     order = np.flatnonzero(result.passed_msv)
     order = order[np.argsort(-np.nan_to_num(result.forward_scores[order], nan=-np.inf))]
+    envelopes = (
+        _hit_envelopes(p7, tokens, lengths, result.hits)
+        if want_domains
+        else {}
+    )
     rows = []
     for i in order:
         row = {
@@ -244,7 +304,7 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
             "hit": bool(result.passed_forward[i]),
         }
         if want_domains and result.passed_forward[i]:
-            env = _domain_envelope(p7, tokens[i], int(lengths[i]))
+            env = envelopes.get(int(i))
             row["env_from"], row["env_to"], row["ndom"] = env if env else (0, 0, 0)
         rows.append(row)
     if args.format == "json":
@@ -286,7 +346,8 @@ def cmd_sweep(args) -> int:
         # hmmscan-shaped sweep: the full cascade per profile against the
         # one staged database (optionally with the bf16 MSV prefilter)
         from .pipeline import SearchPipeline
-        pipeline = SearchPipeline(scanner, fast_msv=getattr(args, "fast", False))
+        fast = getattr(args, "fast", False)
+        pipeline = SearchPipeline(scanner, fast_msv=fast, fast_viterbi=fast)
         with _out_sink(args) as sink, _json_accumulator(args, sink) as acc:
             for path in paths:
                 hmm = load_profile(path, prefer=args.loader)
@@ -300,6 +361,27 @@ def cmd_sweep(args) -> int:
                 )
                 _report_search(hmm, db, result, args, out=sink, rows_sink=acc)
         return 0
+    if getattr(args, "checkpoint", None):
+        # resumable sweep: per-(profile, shard) results publish
+        # atomically; kill + rerun skips completed chunks
+        from .runtime.checkpoint import ScanCheckpoint, resumable_sweep
+
+        profiles = [
+            MSVProfile.from_profile(load_profile(p, prefer=args.loader))
+            for p in paths
+        ]
+        results = resumable_sweep(
+            scanner, profiles, tokens, lengths,
+            ScanCheckpoint(args.checkpoint),
+            shard_size=args.checkpoint_shard,
+        )
+        with _out_sink(args) as sink, _json_accumulator(args, sink) as acc:
+            for profile in profiles:
+                _report(
+                    profile, db, results[profile.name], args,
+                    out=sink, rows_sink=acc,
+                )
+        return 0
     bucketed = None
     if getattr(args, "bucketed", False):
         bucketed = scanner.stage_bucketed(tokens, lengths)
@@ -307,14 +389,22 @@ def cmd_sweep(args) -> int:
             "bucketed staging: %d buckets, %.0f%% padded cells saved",
             len(bucketed.buckets), 100 * bucketed.padded_cells_saved,
         )
+    profiles = [
+        MSVProfile.from_profile(load_profile(p, prefer=args.loader))
+        for p in paths
+    ]
+    if bucketed is not None:
+        # stacked multi-profile kernel per (M bucket x length bucket):
+        # the sweep24 optimization composed with ragged staging
+        results = scanner.scan_many_bucketed(profiles, bucketed)
+    else:
+        results = scanner.scan_many(profiles, staged)
     with _out_sink(args) as sink, _json_accumulator(args, sink) as acc:
-        for path in paths:
-            profile = MSVProfile.from_profile(load_profile(path, prefer=args.loader))
-            if bucketed is not None:
-                scores = scanner.scan_bucketed(profile, bucketed)
-            else:
-                scores = np.asarray(scanner.scan(profile, staged))
-            _report(profile, db, scores, args, out=sink, rows_sink=acc)
+        for profile in profiles:
+            _report(
+                profile, db, results[profile.name], args,
+                out=sink, rows_sink=acc,
+            )
     return 0
 
 
@@ -346,7 +436,8 @@ def build_parser() -> argparse.ArgumentParser:
     scan.add_argument(
         "--fast",
         action="store_true",
-        help="search stage: bf16 upper-bound MSV prefilter + exact rescore",
+        help="search stage: bf16 upper-bound MSV + Viterbi prefilters "
+        "with exact rescore of survivors",
     )
     scan.add_argument(
         "--domains",
@@ -372,12 +463,22 @@ def build_parser() -> argparse.ArgumentParser:
     sweep.add_argument(
         "--fast",
         action="store_true",
-        help="search stage: bf16 upper-bound MSV prefilter + exact rescore",
+        help="search stage: bf16 upper-bound MSV + Viterbi prefilters "
+        "with exact rescore of survivors",
     )
     sweep.add_argument(
         "--bucketed",
         action="store_true",
         help="length-bucketed staging for ragged databases (msv stage)",
+    )
+    sweep.add_argument(
+        "--checkpoint", default=None, metavar="DIR",
+        help="msv stage: resumable sweep — per-(profile, shard) results "
+        "persist atomically under DIR; rerun skips completed chunks",
+    )
+    sweep.add_argument(
+        "--checkpoint-shard", type=int, default=4096, metavar="N",
+        help="sequences per checkpoint shard (default 4096)",
     )
     _add_common(sweep)
     sweep.set_defaults(fn=cmd_sweep)

@@ -442,6 +442,68 @@ def posterior_match_xla(profile: P7Profile, tokens) -> tuple[jax.Array, jax.Arra
     return post[:length], total
 
 
+def _coverage_scan(
+    msc, isc, trans, tr_B_Mk, tr_E_C, tr_E_J, tokens, length, tr_loop, tr_move
+):
+    """Summed match-posterior coverage per position (the quantity the
+    domain-envelope report consumes) — reduces on device so the batched
+    path never ships the [L, Mr] posterior matrix to host."""
+    post, total = _posterior_scan(
+        msc, isc, trans, tr_B_Mk, tr_E_C, tr_E_J, tokens, length,
+        tr_loop, tr_move,
+    )
+    return post.sum(axis=1), total
+
+
+_coverage_batch_jit = jax.jit(
+    jax.vmap(_coverage_scan, in_axes=(None,) * 6 + (0, 0, 0, 0))
+)
+
+
+def posterior_coverage_batch_xla(
+    profile: P7Profile, tokens, lengths, chunk: int = 32
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched forward-backward match coverage for MANY sequences.
+
+    Returns (coverage [B, L_pad] f32 — summed match posterior per
+    position, rows >= lengths[b] zero; totals [B] f32). One device call
+    per ``chunk`` sequences (vmapped over the single-sequence
+    forward-backward) instead of the per-hit loop — wall time sublinear
+    in hit count (VERDICT r1 #4). ``chunk`` bounds the transient
+    [chunk, L_pad, Mr] saved-rows memory; the last chunk pads by
+    repetition so every call shares one compile per L bucket.
+    """
+    tokens = np.asarray(tokens, dtype=np.int32)
+    lengths = np.asarray(lengths, dtype=np.int32)
+    b, seq_len = tokens.shape
+    l_pad = max(128, -(-seq_len // 128) * 128)
+    padded = np.zeros((b, l_pad), dtype=np.int32)
+    padded[:, :seq_len] = tokens
+    # ragged tails beyond each length are masked by the scans themselves
+    tr_loop, tr_move = length_transitions(lengths)
+    packed = _pack(profile)
+
+    cov = np.zeros((b, l_pad), dtype=np.float32)
+    totals = np.zeros(b, dtype=np.float32)
+    for lo in range(0, b, chunk):
+        hi = min(lo + chunk, b)
+        sel = np.arange(lo, hi)
+        if hi - lo < chunk:  # pad by repetition: one compile per bucket
+            sel = np.concatenate(
+                [sel, np.full(chunk - (hi - lo), lo, dtype=sel.dtype)]
+            )
+        c, t = _coverage_batch_jit(
+            *packed,
+            jnp.asarray(padded[sel]),
+            jnp.asarray(lengths[sel]),
+            jnp.asarray(tr_loop[sel]),
+            jnp.asarray(tr_move[sel]),
+        )
+        cov[lo:hi] = np.asarray(c)[: hi - lo]
+        totals[lo:hi] = np.asarray(t)[: hi - lo]
+    return cov, totals
+
+
 def viterbi_xla(profile: P7Profile, tokens, lengths, unroll: int = 1) -> jax.Array:
     """Full local Viterbi filter scores, f32 [B]."""
     return _run(_viterbi_jit, profile, tokens, lengths, unroll)

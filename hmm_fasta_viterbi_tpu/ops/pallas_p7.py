@@ -124,7 +124,7 @@ def _p7_kernel(
     *,
     unroll: int,
     forward: bool,
-    filter_window: int | None = None,
+    e_skip_d: bool = False,
 ):
     l_idx = pl.program_id(1)
     chunk_len, lanes = tokens_ref.shape
@@ -134,17 +134,15 @@ def _p7_kernel(
     reduce0 = _lse_reduce0 if forward else (
         lambda x: jnp.max(x, axis=0, keepdims=True)
     )
+    # Viterbi only: E = max(new_m) is EXACT when all tmd/tdd <= 0 —
+    # every D value is fl(a0 + nonpositive consts) with
+    # a0 = fl(new_m + tmd), and f32 rounding is monotone, so D can
+    # never win the E max (see e_skip_d_ok). Saves one [M_pad, LANES]
+    # combine per residue. Never valid for Forward (logsumexp SUMS D).
+    e_skip_d = e_skip_d and not forward
 
-    if filter_window is None:
-        msc_parts = _split3(msc_ref[:, :])
-        isc_parts = _split3(isc_ref[:, :])
-        select = _select3
-    else:
-        # filter mode: scores arrive pre-rounded-up to bf16 — one MXU
-        # pass instead of three, still exact w.r.t. the bf16 values
-        msc_parts = msc_ref[:, :]
-        isc_parts = isc_ref[:, :]
-        select = _select1
+    msc_parts = _split3(msc_ref[:, :])
+    isc_parts = _split3(isc_ref[:, :])
     tmm = trans_ref[:, 0:1]
     tmi = trans_ref[:, 1:2]
     tmd = trans_ref[:, 2:3]
@@ -168,26 +166,12 @@ def _p7_kernel(
     # combine) so wrapped-around rolls die. Step-invariant, packed into
     # ONE lane-padded array (separate [M_pad, 1] consts each pad to 128
     # lanes in VMEM — 11 of them OOMed the 16 MB budget at M=1400).
-    full_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
-    if filter_window is not None and filter_window < full_passes:
-        # truncated chain (filter mode only): passes 0..K-1 cover D-runs
-        # of length < 2^K exactly; any longer run's value is
-        #   a0[j-s] + (window sum of s >= 2^K tdd links)
-        #     <= max(a0) + 2^K * max(tdd)          (tdd <= 0)
-        # so ONE combine with that bound keeps the result an upper bound
-        # of the full chain. tail_bound rides in SMEM col 3.
-        n_passes, truncated = max(filter_window, 1), True
-        tail_bound = tr_const_ref[0, 3]
-    else:
-        n_passes, truncated = full_passes, False
+    n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
 
     def delete_chain(a):
-        a0 = a
         for k in range(n_passes):
             rolled = pltpu.roll(a, shift=1 << k, axis=0)
             a = combine(a, rolled + chain_ref[:, k:k + 1])
-        if truncated:
-            a = combine(a, jnp.max(a0, axis=0, keepdims=True) + tail_bound)
         return a
 
     @pl.when(l_idx == 0)
@@ -208,8 +192,8 @@ def _p7_kernel(
     def one_step(t, m, i_st, d, j_st, c_st, n_st, b_st):
         tok = tokens_ref[pl.ds(t, 1), :]
         onehot = (aa_iota == tok).astype(jnp.bfloat16)
-        ms = select(msc_parts, onehot)  # [M_pad, LANES]
-        is_ = select(isc_parts, onehot)
+        ms = _select3(msc_parts, onehot)  # [M_pad, LANES]
+        is_ = _select3(isc_parts, onehot)
 
         # M: combine of {B entry, M/I/D diagonal}; the three j-1 shifts
         # share one roll by combining before rolling. No row0 mask is
@@ -225,8 +209,9 @@ def _p7_kernel(
         # D: same-row affine chain (see module docstring)
         a0 = pltpu.roll(new_m + tmd, shift=1, axis=0)
         new_d = delete_chain(a0)
-        # E: local exit from every M and D (score 0)
-        e_st = reduce0(combine(new_m, new_d))
+        # E: local exit from every M and D (score 0); D provably never
+        # wins the max when e_skip_d (see above)
+        e_st = reduce0(new_m) if e_skip_d else reduce0(combine(new_m, new_d))
         new_j = combine(j_st + tr_loop, e_st + tr_e_j)
         new_c = combine(c_st + tr_loop, e_st + tr_e_c)
         new_n = n_st + tr_loop
@@ -267,7 +252,7 @@ def _p7_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("l_chunk", "interpret", "unroll", "forward", "filter_window"),
+    static_argnames=("l_chunk", "interpret", "unroll", "forward", "e_skip_d"),
 )
 def p7_pallas_call(
     msc_t: jax.Array,  # [M_pad, 20] f32
@@ -286,14 +271,12 @@ def p7_pallas_call(
     interpret: bool = False,
     unroll: int = STEP_UNROLL,
     forward: bool = False,
-    filter_window: int | None = None,
+    e_skip_d: bool = False,
 ):
     """Raw kernel invocation over padded operands. Returns
     (scores [B_pad], m/i/d carries [M_pad, B_pad], s carry [4, B_pad]).
-
-    ``filter_window`` (Viterbi only) switches to the upper-bound filter
-    kernel: operands must come from prepare_p7_device_filter with the
-    SAME window, msc/isc as bf16."""
+    Set ``e_skip_d`` only when e_skip_d_ok(p7) (Viterbi E-reduce skips
+    the provably-dominated D term)."""
     m_pad, twenty = msc_t.shape
     l_pad, b_pad = tokens_t.shape
     assert twenty == 20 and b_pad % LANES == 0 and l_pad % l_chunk == 0
@@ -319,10 +302,7 @@ def p7_pallas_call(
     s_spec = pl.BlockSpec((4, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM)
     score, m_out, i_out, d_out, s_out = pl.pallas_call(
         functools.partial(
-            _p7_kernel,
-            unroll=unroll,
-            forward=forward,
-            filter_window=filter_window,
+            _p7_kernel, unroll=unroll, forward=forward, e_skip_d=e_skip_d
         ),
         grid=(num_b, num_l),
         in_specs=[
@@ -368,12 +348,12 @@ def p7_pallas_call(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("l_chunk", "interpret", "forward", "filter_window")
+    jax.jit, static_argnames=("l_chunk", "interpret", "forward", "e_skip_d")
 )
 def _p7_pallas_padded(
     msc_t, isc_t, trans_t, chain_t, tokens_i8_t, lengths, tr_rows,
     tr_consts, l_chunk: int, interpret: bool, forward: bool,
-    filter_window: int | None = None,
+    e_skip_d: bool = False,
 ):
     """Jitted wrapper: DP init built on device; returns scores [B_pad]."""
     m_pad = msc_t.shape[0]
@@ -404,7 +384,7 @@ def _p7_pallas_padded(
         l_chunk=l_chunk,
         interpret=interpret,
         forward=forward,
-        filter_window=filter_window,
+        e_skip_d=e_skip_d,
     )
     return score
 
@@ -614,6 +594,265 @@ def _f32_up(x64: np.ndarray) -> np.ndarray:
     return np.where(below, bumped, y).astype(np.float32)
 
 
+def _p7_filter_kernel(
+    msc_ref,  # [M_pad, 20] bf16 VMEM match scores rounded UP
+    isc_ref,  # [M_pad, 20] bf16 VMEM insert scores rounded UP
+    trans_ref,  # [M_pad, 8] f32 VMEM (exact kernel layout)
+    chain_ref,  # [M_pad, 16] f32 VMEM chain consts (chain mode only)
+    tokens_ref,  # [L_CHUNK, LANES] int32
+    lengths_ref,  # [1, LANES] int32
+    tr_row_ref,  # [2, LANES] f32: tr_loop; tr_move
+    tr_const_ref,  # [1, 4] f32 SMEM: tr_B_Mk, tr_E_C, tr_E_J, aux
+    m_in_ref,  # [M_pad, LANES] f32
+    i_in_ref,
+    d_in_ref,
+    s_in_ref,  # [8, LANES] f32: J C N B E (5-7 pad)
+    score_ref,  # [1, LANES] f32
+    m_out_ref,
+    i_out_ref,
+    d_out_ref,
+    s_out_ref,
+    *,
+    unroll: int,
+    filter_window: int,
+    e_skip_d: bool,
+):
+    """Upper-bound Viterbi filter (HMMER ViterbiFilter's role).
+
+    Soundness-preserving accelerations over the exact max-plus kernel,
+    all riding on monotonicity (every operand >= its exact counterpart
+    -> result >= exact score):
+
+    * one bf16 MXU pass per emission select (scores pre-rounded up);
+    * truncated Hillis-Steele delete chain: ``filter_window`` passes
+      cover D-runs < 2^K exactly; any longer run's value is
+        a0[j-s] + (window sum of s >= 2^K tdd links)
+          <= max(a0) + 2^K * max(tdd)            (tdd <= 0)
+      so ONE combine with that bound (aux, SMEM col 3) upper-bounds the
+      full chain. A *global*-max bound for ALL runs (skipping the chain
+      entirely) was measured catastrophically loose — it lets paths
+      re-enter the best column every residue, inflating scores by
+      ~1.9 nats/step on 1400.hmm — so the bound is only used for the
+      tail beyond the window, where the 2^K tdd penalty pins it;
+    * ``e_skip_d``: E = max(new_m) EXACTLY when all tmd/tdd <= 0 —
+      new_d[j] = max_s fl(a0[j-s] + C_s) <= max(a0) <= max(new_m)
+      under monotone f32 rounding, so D never wins the E max (this one
+      is an equality, also used by the exact kernel).
+    """
+    l_idx = pl.program_id(1)
+    chunk_len, lanes = tokens_ref.shape
+    m_pad = msc_ref.shape[0]
+
+    msc = msc_ref[:, :]
+    isc = isc_ref[:, :]
+    tmm = trans_ref[:, 0:1]
+    tmi = trans_ref[:, 1:2]
+    tim = trans_ref[:, 3:4]
+    tii = trans_ref[:, 4:5]
+    tmd = trans_ref[:, 2:3]
+    tdm = trans_ref[:, 5:6]
+
+    tr_b_mk = tr_const_ref[0, 0]
+    tr_e_c = tr_const_ref[0, 1]
+    tr_e_j = tr_const_ref[0, 2]
+    aux = tr_const_ref[0, 3]
+    tr_loop = tr_row_ref[0:1, :]
+    tr_move = tr_row_ref[1:2, :]
+    lengths = lengths_ref[0:1, :]
+
+    full_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+    n_passes = min(max(filter_window, 1), full_passes)
+    truncated = n_passes < full_passes
+
+    def delete_chain(a):
+        a0 = a
+        for k in range(n_passes):
+            rolled = pltpu.roll(a, shift=1 << k, axis=0)
+            a = jnp.maximum(a, rolled + chain_ref[:, k:k + 1])
+        if truncated:
+            a = jnp.maximum(a, jnp.max(a0, axis=0, keepdims=True) + aux)
+        return a
+
+    @pl.when(l_idx == 0)
+    def _():
+        m_out_ref[:, :] = m_in_ref[:, :]
+        i_out_ref[:, :] = i_in_ref[:, :]
+        d_out_ref[:, :] = d_in_ref[:, :]
+        s_out_ref[:, :] = s_in_ref[:, :]
+
+    m0 = m_out_ref[:, :]
+    i0 = i_out_ref[:, :]
+    d0 = d_out_ref[:, :]
+    s0 = s_out_ref[:, :]
+
+    aa_iota = jax.lax.broadcasted_iota(jnp.int32, (20, lanes), 0)
+    base = l_idx * chunk_len
+
+    def one_step(t, m, i_st, d, j_st, c_st, n_st, b_st, e_prev):
+        tok = tokens_ref[pl.ds(t, 1), :]
+        onehot = (aa_iota == tok).astype(jnp.bfloat16)
+        ms = _select1(msc, onehot)  # [M_pad, LANES]
+        is_ = _select1(isc, onehot)
+
+        diag_stay = jnp.maximum(
+            jnp.maximum(m + tmm, i_st + tim), d + tdm
+        )
+        diag = pltpu.roll(diag_stay, shift=1, axis=0)
+        new_m = ms + jnp.maximum(diag, b_st + tr_b_mk)
+        a0 = pltpu.roll(new_m + tmd, shift=1, axis=0)
+        new_d = delete_chain(a0)
+        if e_skip_d:
+            e_st = jnp.max(new_m, axis=0, keepdims=True)
+        else:
+            e_st = jnp.max(
+                jnp.maximum(new_m, new_d), axis=0, keepdims=True
+            )
+        new_i = is_ + jnp.maximum(m + tmi, i_st + tii)
+
+        new_j = jnp.maximum(j_st + tr_loop, e_st + tr_e_j)
+        new_c = jnp.maximum(c_st + tr_loop, e_st + tr_e_c)
+        new_n = n_st + tr_loop
+        new_b = jnp.maximum(new_n + tr_move, new_j + tr_move)
+
+        valid = (base + t) < lengths
+        return (
+            new_m,
+            new_i,
+            new_d,
+            jnp.where(valid, new_j, j_st),
+            jnp.where(valid, new_c, c_st),
+            jnp.where(valid, new_n, n_st),
+            jnp.where(valid, new_b, b_st),
+            e_st,
+        )
+
+    def step(u, carry):
+        for k in range(unroll):
+            carry = one_step(u * unroll + k, *carry)
+        return carry
+
+    m, i_st, d, j_st, c_st, n_st, b_st, e_st = jax.lax.fori_loop(
+        0, chunk_len // unroll, step,
+        (m0, i0, d0, s0[0:1, :], s0[1:2, :], s0[2:3, :], s0[3:4, :],
+         s0[4:5, :]),
+    )
+
+    m_out_ref[:, :] = m
+    i_out_ref[:, :] = i_st
+    d_out_ref[:, :] = d
+    pad = jnp.full((3, lanes), jnp.float32(NEG_INF))
+    s_out_ref[:, :] = jnp.concatenate(
+        [j_st, c_st, n_st, b_st, e_st, pad], axis=0
+    )
+    score_ref[:, :] = c_st + tr_move
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "l_chunk", "interpret", "unroll", "filter_window", "e_skip_d"
+    ),
+)
+def _p7_filter_padded(
+    msc_bf, isc_bf, trans_t, chain_t, tokens_i8_t, lengths, tr_rows,
+    tr_consts, l_chunk: int, interpret: bool,
+    filter_window: int, e_skip_d: bool = False, unroll: int = STEP_UNROLL,
+):
+    """Jitted filter wrapper over padded operands -> scores [B_pad]."""
+    m_pad = msc_bf.shape[0]
+    l_pad, b_pad = tokens_i8_t.shape
+    lanes = pick_lanes(b_pad, m_pad, widest=512, m_cap=2048)
+    if m_pad > 1536:
+        unroll = min(unroll, 2)
+    elif m_pad > 768:
+        unroll = min(unroll, 4)
+    while l_chunk % unroll:
+        unroll //= 2
+    num_b = b_pad // lanes
+    num_l = l_pad // l_chunk
+    lengths2d = lengths.reshape(1, b_pad)
+
+    neg = jnp.float32(NEG_INF)
+    core_init = jnp.full((m_pad, b_pad), neg, dtype=jnp.float32)
+    s_init = jnp.stack(
+        [
+            jnp.full((b_pad,), neg, dtype=jnp.float32),  # J
+            jnp.full((b_pad,), neg, dtype=jnp.float32),  # C
+            jnp.zeros((b_pad,), dtype=jnp.float32),  # N
+            tr_rows[1],  # B = tr_move
+            jnp.full((b_pad,), neg, dtype=jnp.float32),  # E
+            jnp.full((b_pad,), neg, dtype=jnp.float32),
+            jnp.full((b_pad,), neg, dtype=jnp.float32),
+            jnp.full((b_pad,), neg, dtype=jnp.float32),
+        ]
+    )
+
+    carry_spec = pl.BlockSpec(
+        (m_pad, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM
+    )
+    s_spec = pl.BlockSpec((8, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM)
+    score, *_ = pl.pallas_call(
+        functools.partial(
+            _p7_filter_kernel,
+            unroll=unroll,
+            filter_window=filter_window,
+            e_skip_d=e_skip_d,
+        ),
+        grid=(num_b, num_l),
+        in_specs=[
+            pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 8), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 16), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_chunk, lanes), lambda b, l: (l, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            carry_spec,
+            carry_spec,
+            carry_spec,
+            s_spec,
+        ],
+        input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
+        out_specs=(
+            pl.BlockSpec((1, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            carry_spec,
+            carry_spec,
+            carry_spec,
+            s_spec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, b_pad), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        msc_bf, isc_bf, trans_t, chain_t,
+        tokens_i8_t.astype(jnp.int32), lengths2d, tr_rows, tr_consts,
+        core_init, core_init, core_init, s_init,
+    )
+    return score[0]
+
+
+def e_skip_d_ok(p7: P7Profile) -> bool:
+    """True when E = max(new_m) is EXACTLY the full E-reduction (D
+    states can never win the E max): requires every tmd and tdd <= 0 —
+    genuine log-probabilities, true for any real profile (the '*' quirk
+    yields exactly 0, which is fine). Proof sketch: every D value is
+    some fl(a0 + nonpositive consts) with a0 = fl(new_m + tmd) and f32
+    rounding monotone, hence <= max(new_m)."""
+    return bool(
+        np.all(p7.tmd[np.isfinite(p7.tmd)] <= 0.0)
+        and np.all(p7.tdd[np.isfinite(p7.tdd)] <= 0.0)
+    )
+
+
 def prepare_p7_device_filter(
     p7: P7Profile,
     m_pad: int | None = None,
@@ -621,21 +860,19 @@ def prepare_p7_device_filter(
 ):
     """Host packing for the upper-bound Viterbi FILTER kernel.
 
-    Returns (msc_bf16, isc_bf16, trans_t, chain_t, tr_consts4, window)
-    where ``window`` must be passed as the kernel's static
-    ``filter_window``. Soundness (filter score >= exact score for every
-    sequence) comes from max-plus monotonicity in every operand:
+    Returns (msc_bf16, isc_bf16, trans_t, chain_t, tr_consts4, window,
+    e_skip_d); pass ``window``/``e_skip_d`` as the kernel's static
+    flags. Soundness (filter score >= exact score for every sequence —
+    the zero-false-negative contract shared with
+    pallas_msv.prepare_scores_t_filter) rests on max-plus monotonicity:
 
-    * emissions rounded UP to bf16 (one MXU select pass instead of 3);
+    * emissions rounded UP to bf16;
     * delete-chain pass constants built from one-ulp-bumped tdd links
       with f64 window sums rounded up — >= any f32 evaluation order the
       exact kernel or oracle used;
-    * D-runs longer than the truncated chain window are folded into one
-      max(a0) + 2^K*max(tdd) compensation term (see _p7_kernel).
+    * D-runs beyond the truncated window folded into the
+      max(a0) + 2^K*max(tdd) tail term (see _p7_filter_kernel).
 
-    The same zero-false-negative contract as the MSV prefilter
-    (pallas_msv.prepare_scores_t_filter): thresholding on these scores
-    can only ADD survivors for the exact rescore, never drop a hit.
     The reference has no Viterbi stage at all (SURVEY.md scope note);
     this mirrors HMMER's ViterbiFilter role in the cascade.
     """
@@ -645,21 +882,23 @@ def prepare_p7_device_filter(
     msc_bf = bf16_round_up(msc_t)
     isc_bf = bf16_round_up(isc_t)
 
-    # bumped shifted-tdd links (window-of-1 values)
+    # shifted-tdd links (window-of-1 values), one-ulp bumped
     tdd_s = np.concatenate(([np.float32(NEG_INF)], p7.tdd[:-1]))
     tdd_up = f32_round_up(tdd_s)
+    finite = tdd_up[np.isfinite(tdd_up)]
+    tdd_max = float(finite.max()) if finite.size else float(NEG_INF)
 
     full_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
     window = min(max(window_log2, 1), full_passes)
-    finite = tdd_up[np.isfinite(tdd_up)]
-    tdd_max = float(finite.max()) if finite.size else NEG_INF
-    if tdd_max > 0.0 or window >= full_passes:
+    if tdd_max > 0.0:
         # tdd > 0 (malformed profile: prob > 1) breaks the geometric
-        # tail bound — fall back to the full chain, still a valid filter
+        # tail bound — run the full chain (still a valid filter)
         window = full_passes
-        tail_bound = np.float32(NEG_INF)
-    else:
-        tail_bound = _f32_up(np.float64(tdd_max) * (1 << window))
+    aux = (
+        _f32_up(np.float64(tdd_max) * (1 << window))
+        if window < full_passes
+        else np.float32(NEG_INF)
+    )
 
     chain_t = np.full((m_pad, 16), NEG_INF, dtype=np.float32)
     rows = np.arange(m_pad)
@@ -675,9 +914,12 @@ def prepare_p7_device_filter(
             c_cur = c_cur + np.where(rows < s, 0.0, rolled)
 
     tr_consts = np.array(
-        [[p7.tr_B_Mk, p7.tr_E_C, p7.tr_E_J, tail_bound]], dtype=np.float32
+        [[p7.tr_B_Mk, p7.tr_E_C, p7.tr_E_J, aux]], dtype=np.float32
     )
-    return msc_bf, isc_bf, trans_t, chain_t, tr_consts, window
+    return (
+        msc_bf, isc_bf, trans_t, chain_t, tr_consts, window,
+        e_skip_d_ok(p7),
+    )
 
 
 def viterbi_filter_pallas(
@@ -696,10 +938,10 @@ def viterbi_filter_pallas(
     tokens_t, lengths_p, tr_rows, b, l_chunk = _prepare_tokens(
         tokens, lengths, l_chunk
     )
-    msc_bf, isc_bf, trans_t, chain_t, tr_consts, window = (
+    msc_bf, isc_bf, trans_t, chain_t, tr_consts, window, e_skip = (
         prepare_p7_device_filter(p7, window_log2=window_log2)
     )
-    score = _p7_pallas_padded(
+    score = _p7_filter_padded(
         jnp.asarray(msc_bf),
         jnp.asarray(isc_bf),
         jnp.asarray(trans_t),
@@ -710,8 +952,8 @@ def viterbi_filter_pallas(
         jnp.asarray(tr_consts),
         l_chunk=l_chunk,
         interpret=interpret,
-        forward=False,
         filter_window=window,
+        e_skip_d=e_skip,
     )
     return score[:b]
 
@@ -881,6 +1123,7 @@ def _run(p7, tokens, lengths, l_chunk, interpret, forward):
         l_chunk=l_chunk,
         interpret=interpret,
         forward=forward,
+        e_skip_d=(not forward) and e_skip_d_ok(p7),
     )
     return score[:b]
 

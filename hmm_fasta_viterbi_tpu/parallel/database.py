@@ -80,6 +80,9 @@ def make_db_scanner(
     mesh: Mesh,
     l_chunk: int = 512,
     interpret: bool = False,
+    exact: bool = True,
+    skip_row0_guard: bool = False,
+    stacked: bool = False,
 ):
     """Pallas-kernel database scan sharded over ``db`` via shard_map.
 
@@ -90,7 +93,9 @@ def make_db_scanner(
     divisible by db * 128.
 
     Returns a jitted fn(scores_t, tokens_i8_t, lengths, tr_rows,
-    tr_consts) -> scores [B_pad].
+    tr_consts) -> scores [B_pad] (or [G, B_pad] with ``stacked=True``,
+    the multi-profile sweep kernel). ``exact=False`` runs the bf16
+    upper-bound MSV prefilter kernel (scan_filter semantics).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -100,13 +105,104 @@ def make_db_scanner(
         out = _msv_pallas_padded(
             scores_t, tokens_i8_t, lengths, tr_rows, tr_consts,
             l_chunk=l_chunk, interpret=interpret,
+            exact=exact, skip_row0_guard=skip_row0_guard,
         )
-        return out[0]  # single-profile stack -> [B_local]
+        return out if stacked else out[0]
 
     mapped = jax.shard_map(
         local_scan,
         mesh=mesh,
         in_specs=(P(), P(None, DB_AXIS), P(DB_AXIS), P(None, DB_AXIS), P()),
+        out_specs=P(None, DB_AXIS) if stacked else P(DB_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=32)
+def make_db_p7_scanner(
+    mesh: Mesh,
+    stage: str = "viterbi",
+    l_chunk: int = 256,
+    interpret: bool = False,
+    e_skip_d: bool = False,
+):
+    """db-sharded Viterbi / Forward stage scan (the full-cascade analogue
+    of :func:`make_db_scanner`): each device runs the p7 Pallas kernel
+    on its local batch shard.
+
+    Returns a jitted fn matching the stage's padded-wrapper signature
+    (ops.pallas_p7._p7_pallas_padded for ``viterbi``; the prob-space
+    ops.pallas_p7._fwd_prob_padded for ``forward``) -> scores [B_pad].
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas_p7 import _fwd_prob_padded, _p7_pallas_padded
+
+    assert stage in ("viterbi", "forward")
+    if stage == "viterbi":
+
+        def local(msc, isc, trans, chain, tok, lens, trr, trc):
+            return _p7_pallas_padded(
+                msc, isc, trans, chain, tok, lens, trr, trc,
+                l_chunk=l_chunk, interpret=interpret, forward=False,
+                e_skip_d=e_skip_d,
+            )
+
+        in_specs = (
+            P(), P(), P(), P(),
+            P(None, DB_AXIS), P(DB_AXIS), P(None, DB_AXIS), P(),
+        )
+    else:
+
+        def local(modds, iodds, trans, chain, tok, lens, trr, trp, trc):
+            return _fwd_prob_padded(
+                modds, iodds, trans, chain, tok, lens, trr, trp, trc,
+                l_chunk=l_chunk, interpret=interpret,
+            )
+
+        in_specs = (
+            P(), P(), P(), P(),
+            P(None, DB_AXIS), P(DB_AXIS), P(None, DB_AXIS),
+            P(None, DB_AXIS), P(),
+        )
+
+    mapped = jax.shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=P(DB_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=32)
+def make_db_p7_filter_scanner(
+    mesh: Mesh,
+    l_chunk: int = 256,
+    interpret: bool = False,
+    filter_window: int = 16,
+    e_skip_d: bool = False,
+):
+    """db-sharded upper-bound Viterbi prefilter (ops.pallas_p7
+    _p7_filter_padded under shard_map); statics must match the packing
+    from prepare_p7_device_filter."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas_p7 import _p7_filter_padded
+
+    def local(msc, isc, trans, chain, tok, lens, trr, trc):
+        return _p7_filter_padded(
+            msc, isc, trans, chain, tok, lens, trr, trc,
+            l_chunk=l_chunk, interpret=interpret,
+            filter_window=filter_window, e_skip_d=e_skip_d,
+        )
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(),
+            P(None, DB_AXIS), P(DB_AXIS), P(None, DB_AXIS), P(),
+        ),
         out_specs=P(DB_AXIS),
         check_vma=False,
     )

@@ -76,11 +76,19 @@ class MSVScanner:
 
     @classmethod
     def from_config(cls, config) -> "MSVScanner":
-        """Build from a runtime.config.EngineConfig."""
+        """Build from a runtime.config.EngineConfig. ``use_mesh`` builds
+        a (mesh_db x mesh_sp) device mesh and shards every scan over its
+        db axis (EngineConfig mesh knobs — VERDICT r1 #3)."""
+        mesh = None
+        if getattr(config, "use_mesh", False):
+            from .parallel.mesh import make_scan_mesh
+
+            mesh = make_scan_mesh(db=config.mesh_db, sp=config.mesh_sp)
         return cls(
             backend=config.backend,
             l_chunk=config.l_chunk,
             m_bucket=config.m_bucket,
+            mesh=mesh,
         )
 
     def __init__(
@@ -89,13 +97,24 @@ class MSVScanner:
         l_chunk: int = pallas_msv.DEFAULT_L_CHUNK,
         m_bucket: int = 256,
         interpret: bool = False,
+        mesh=None,
     ):
         if backend == "auto":
             backend = "pallas" if jax.default_backend() != "cpu" or interpret else "xla"
+        if backend == "pallas" and jax.default_backend() == "cpu":
+            # Pallas has no native CPU lowering; interpret mode runs the
+            # same kernel logic (used by CI and the virtual-mesh paths)
+            interpret = True
         self.backend = backend
         self.l_chunk = l_chunk
         self.m_bucket = m_bucket
         self.interpret = interpret
+        # multi-chip: a jax.sharding.Mesh with a "db" axis; every scan
+        # shards the staged batch across it via shard_map'd kernels
+        # (parallel.database). Requires the pallas backend.
+        self.mesh = mesh
+        if mesh is not None and backend != "pallas":
+            raise ValueError("mesh sharding requires the pallas backend")
         # cache entries are (profile_object, payload): the stored strong
         # reference pins the object so its id() can never be recycled to
         # a different profile (id-keyed caches silently return a STALE
@@ -113,6 +132,31 @@ class MSVScanner:
         self._profile_cache[key] = (obj, payload)
         return payload
 
+    # -- mesh plumbing ---------------------------------------------------
+    def _b_gran(self) -> int:
+        """Batch padding granularity: every db shard must hold whole
+        128-lane tiles."""
+        if self.mesh is None:
+            return pallas_msv.LANES
+        from .parallel.mesh import DB_AXIS
+
+        return pallas_msv.LANES * self.mesh.shape[DB_AXIS]
+
+    def _dev(self, arr, b_axis: int):
+        """Upload ``arr`` (B_pad along dim ``b_axis``), sharded over the
+        mesh's db axis when a mesh is configured."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from .parallel.mesh import DB_AXIS
+
+        spec = [None] * np.ndim(arr)
+        spec[b_axis] = DB_AXIS
+        return jax.device_put(
+            arr, NamedSharding(self.mesh, PartitionSpec(*spec))
+        )
+
     # -- staging ---------------------------------------------------------
     def stage(self, tokens: np.ndarray, lengths: np.ndarray) -> StagedDatabase:
         """Pad + upload a token batch once; reusable across profiles."""
@@ -120,7 +164,7 @@ class MSVScanner:
         lengths = np.asarray(lengths, dtype=np.int32)
         b, seq_len = tokens.shape
 
-        b_pad = _round_up(max(b, 1), pallas_msv.LANES)
+        b_pad = _round_up(max(b, 1), self._b_gran())
         # one compile per (L bucket, B bucket) pair; a database is staged
         # once, so l_chunk-granular buckets beat power-of-2 padding waste
         l_pad = _round_up(max(seq_len, 1), self.l_chunk)
@@ -133,10 +177,12 @@ class MSVScanner:
         tr_loop, tr_move = length_transitions(lengths_p)
 
         return StagedDatabase(
-            tokens_i8_t=jnp.asarray(tok_t),
-            lengths=jnp.asarray(lengths_p),
-            tr_rows=jnp.asarray(np.stack([tr_loop, tr_move]).astype(np.float32)),
-            tr_probs=jnp.asarray(length_transition_probs(lengths_p)),
+            tokens_i8_t=self._dev(tok_t, 1),
+            lengths=self._dev(lengths_p, 0),
+            tr_rows=self._dev(
+                np.stack([tr_loop, tr_move]).astype(np.float32), 1
+            ),
+            tr_probs=self._dev(length_transition_probs(lengths_p), 1),
             num_sequences=b,
         )
 
@@ -159,15 +205,19 @@ class MSVScanner:
         and by callers slicing an existing staged database.
         """
         l_pad, b_pad = tokens_i8_t.shape
-        assert b_pad % pallas_msv.LANES == 0 and l_pad % self.l_chunk == 0
+        assert b_pad % self._b_gran() == 0 and l_pad % self.l_chunk == 0
         lengths_p = np.asarray(lengths, dtype=np.int32)
         assert lengths_p.shape == (b_pad,)
         tr_loop, tr_move = length_transitions(lengths_p)
+        if self.mesh is not None:
+            tokens_i8_t = self._dev(tokens_i8_t, 1)  # reshard over db
         return StagedDatabase(
             tokens_i8_t=tokens_i8_t,
-            lengths=jnp.asarray(lengths_p),
-            tr_rows=jnp.asarray(np.stack([tr_loop, tr_move]).astype(np.float32)),
-            tr_probs=jnp.asarray(length_transition_probs(lengths_p)),
+            lengths=self._dev(lengths_p, 0),
+            tr_rows=self._dev(
+                np.stack([tr_loop, tr_move]).astype(np.float32), 1
+            ),
+            tr_probs=self._dev(length_transition_probs(lengths_p), 1),
             num_sequences=num_sequences if num_sequences is not None else b_pad,
         )
 
@@ -234,7 +284,20 @@ class MSVScanner:
     def scan(self, profile: MSVProfile, staged: StagedDatabase) -> jax.Array:
         """Score every staged sequence against one profile -> f32 [B]."""
         scores_t, tr_consts, _ = self._device_profile(profile)
-        if self.backend == "pallas":
+        if self.mesh is not None:
+            from .parallel.database import make_db_scanner
+
+            scan = make_db_scanner(
+                self.mesh, l_chunk=self.l_chunk, interpret=self.interpret
+            )
+            out = scan(
+                scores_t,
+                staged.tokens_i8_t,
+                staged.lengths,
+                staged.tr_rows,
+                tr_consts,
+            )
+        elif self.backend == "pallas":
             out = pallas_msv._msv_pallas_padded(
                 scores_t,
                 staged.tokens_i8_t,
@@ -281,17 +344,32 @@ class MSVScanner:
             dev = self._cache_put(
                 key, profile, (jnp.asarray(scores_t), jnp.asarray(tr_consts))
             )
-        out = pallas_msv._msv_pallas_padded(
-            dev[0],
-            staged.tokens_i8_t,
-            staged.lengths,
-            staged.tr_rows,
-            dev[1],
-            l_chunk=self.l_chunk,
-            interpret=self.interpret,
-            exact=False,
-            skip_row0_guard=True,
-        )[0]
+        if self.mesh is not None:
+            from .parallel.database import make_db_scanner
+
+            scan = make_db_scanner(
+                self.mesh,
+                l_chunk=self.l_chunk,
+                interpret=self.interpret,
+                exact=False,
+                skip_row0_guard=True,
+            )
+            out = scan(
+                dev[0], staged.tokens_i8_t, staged.lengths,
+                staged.tr_rows, dev[1],
+            )
+        else:
+            out = pallas_msv._msv_pallas_padded(
+                dev[0],
+                staged.tokens_i8_t,
+                staged.lengths,
+                staged.tr_rows,
+                dev[1],
+                l_chunk=self.l_chunk,
+                interpret=self.interpret,
+                exact=False,
+                skip_row0_guard=True,
+            )[0]
         return out[: staged.num_sequences]
 
     def scan_p7_filter(
@@ -317,19 +395,34 @@ class MSVScanner:
             dev = self._cache_put(
                 key,
                 p7,
-                tuple(jnp.asarray(x) for x in packed[:5]) + (packed[5],),
+                tuple(jnp.asarray(x) for x in packed[:5]) + packed[5:],
             )
-        out = pallas_p7._p7_pallas_padded(
-            *dev[:4],
-            staged.tokens_i8_t,
-            staged.lengths,
-            staged.tr_rows,
-            dev[4],
-            l_chunk=self.l_chunk,
-            interpret=self.interpret,
-            forward=False,
-            filter_window=dev[5],
-        )
+        if self.mesh is not None:
+            from .parallel.database import make_db_p7_filter_scanner
+
+            scan = make_db_p7_filter_scanner(
+                self.mesh,
+                l_chunk=self.l_chunk,
+                interpret=self.interpret,
+                filter_window=dev[5],
+                e_skip_d=dev[6],
+            )
+            out = scan(
+                *dev[:4], staged.tokens_i8_t, staged.lengths,
+                staged.tr_rows, dev[4],
+            )
+        else:
+            out = pallas_p7._p7_filter_padded(
+                *dev[:4],
+                staged.tokens_i8_t,
+                staged.lengths,
+                staged.tr_rows,
+                dev[4],
+                l_chunk=self.l_chunk,
+                interpret=self.interpret,
+                filter_window=dev[5],
+                e_skip_d=dev[6],
+            )
         return out[: staged.num_sequences]
 
     # -- full-profile stages over a staged database -----------------------
@@ -355,7 +448,25 @@ class MSVScanner:
                 dev = self._cache_put(
                     key, p7, tuple(jnp.asarray(x) for x in packed)
                 )
-            if stage == "forward":
+            eskip = stage == "viterbi" and pallas_p7.e_skip_d_ok(p7)
+            if self.mesh is not None:
+                from .parallel.database import make_db_p7_scanner
+
+                scan = make_db_p7_scanner(
+                    self.mesh,
+                    stage=stage,
+                    l_chunk=self.l_chunk,
+                    interpret=self.interpret,
+                    e_skip_d=eskip,
+                )
+                args = (
+                    *dev[:4], staged.tokens_i8_t, staged.lengths,
+                    staged.tr_rows,
+                )
+                if stage == "forward":
+                    args = args + (staged.tr_probs,)
+                out = scan(*args, dev[4])
+            elif stage == "forward":
                 # scaled-probability Forward kernel (see ops.pallas_p7)
                 out = pallas_p7._fwd_prob_padded(
                     *dev[:4],
@@ -377,6 +488,7 @@ class MSVScanner:
                     l_chunk=self.l_chunk,
                     interpret=self.interpret,
                     forward=False,
+                    e_skip_d=eskip,
                 )
         else:
             from .ops.p7_scan import forward_xla, viterbi_xla
@@ -388,6 +500,27 @@ class MSVScanner:
                 np.asarray(staged.lengths),
             )
         return out[: staged.num_sequences]
+
+    def scan_many_bucketed(
+        self,
+        profiles: list[MSVProfile],
+        bucketed: "BucketedDatabase",
+        mode: str = "exact",
+    ) -> dict[str, np.ndarray]:
+        """Stacked multi-profile sweep over a length-bucketed database
+        (VERDICT r1 #6: the sweep24 optimization composed with ragged
+        staging). One stacked kernel call per (M bucket x length bucket)
+        instead of profiles x buckets serial scans; results scattered
+        back to the original sequence order."""
+        results = {
+            p.name: np.empty(bucketed.num_sequences, dtype=np.float32)
+            for p in profiles
+        }
+        for staged, idx in zip(bucketed.buckets, bucketed.order):
+            sub = self.scan_many(profiles, staged, mode=mode)
+            for name, scores in sub.items():
+                results[name][idx] = scores
+        return results
 
     def scan_many(
         self,
@@ -422,19 +555,40 @@ class MSVScanner:
             tr_consts = np.array(
                 [[p.tr_B_Mk, p.tr_E_C, p.tr_E_J] for p in group], dtype=np.float32
             )
-            out = np.asarray(
-                pallas_msv._msv_pallas_padded(
-                    jnp.asarray(scores_t),
-                    staged.tokens_i8_t,
-                    staged.lengths,
-                    staged.tr_rows,
-                    jnp.asarray(tr_consts),
+            if self.mesh is not None:
+                from .parallel.database import make_db_scanner
+
+                scan = make_db_scanner(
+                    self.mesh,
                     l_chunk=self.l_chunk,
                     interpret=self.interpret,
                     exact=not filt,
                     skip_row0_guard=filt,
+                    stacked=True,
                 )
-            )[:, : staged.num_sequences]
+                out = np.asarray(
+                    scan(
+                        jnp.asarray(scores_t),
+                        staged.tokens_i8_t,
+                        staged.lengths,
+                        staged.tr_rows,
+                        jnp.asarray(tr_consts),
+                    )
+                )[:, : staged.num_sequences]
+            else:
+                out = np.asarray(
+                    pallas_msv._msv_pallas_padded(
+                        jnp.asarray(scores_t),
+                        staged.tokens_i8_t,
+                        staged.lengths,
+                        staged.tr_rows,
+                        jnp.asarray(tr_consts),
+                        l_chunk=self.l_chunk,
+                        interpret=self.interpret,
+                        exact=not filt,
+                        skip_row0_guard=filt,
+                    )
+                )[:, : staged.num_sequences]
             for p, scores in zip(group, out):
                 results[p.name] = scores
         return results
@@ -581,6 +735,21 @@ class SearchPipeline:
         passed_vit = np.zeros(b, dtype=bool)
         passed_fwd = np.zeros(b, dtype=bool)
 
+        def _stage_subset(sel: np.ndarray):
+            l_max = max(int(lengths[sel].max()), 1)
+            return self.scanner.stage(tokens[sel, :l_max], lengths[sel])
+
+        def _p7_stage(sel: np.ndarray, p7, stage: str) -> np.ndarray:
+            # route through the scanner (device-resident staging, and
+            # mesh-sharded when the scanner carries a mesh) on pallas;
+            # lax.scan fns elsewhere
+            if self.scanner.backend == "pallas":
+                return np.asarray(
+                    self.scanner.scan_p7(p7, _stage_subset(sel), stage=stage)
+                )
+            fn = viterbi_fn if stage == "viterbi" else forward_fn
+            return np.asarray(fn(p7, tokens[sel], lengths[sel]))
+
         idx = np.flatnonzero(passed_msv)
         if idx.size:
             p7 = P7Profile.from_profile(hmm)
@@ -589,31 +758,26 @@ class SearchPipeline:
                 # exact ones (pvalue is decreasing in score), so a
                 # filter rejection is an exact rejection; rescore only
                 # the filter's survivors with the exact kernel
-                from .ops.pallas_p7 import viterbi_filter_pallas
-
                 vf = np.array(
-                    viterbi_filter_pallas(
-                        p7, tokens[idx], lengths[idx],
-                        interpret=self.scanner.interpret,
-                    )
+                    self.scanner.scan_p7_filter(p7, _stage_subset(idx))
                 )
                 vit_scores[idx] = vf
                 vit_pv[idx] = stats.viterbi_pvalue(vf, hmm)
                 idx = idx[vit_pv[idx] <= self.viterbi_p]
                 if idx.size:
-                    vs = np.asarray(viterbi_fn(p7, tokens[idx], lengths[idx]))
+                    vs = _p7_stage(idx, p7, "viterbi")
                     vit_scores[idx] = vs
                     vit_pv[idx] = stats.viterbi_pvalue(vs, hmm)
                     passed_vit[idx] = vit_pv[idx] <= self.viterbi_p
             else:
-                vs = np.asarray(viterbi_fn(p7, tokens[idx], lengths[idx]))
+                vs = _p7_stage(idx, p7, "viterbi")
                 vit_scores[idx] = vs
                 vit_pv[idx] = stats.viterbi_pvalue(vs, hmm)
                 passed_vit[idx] = vit_pv[idx] <= self.viterbi_p
 
             idx2 = np.flatnonzero(passed_vit)
             if idx2.size:
-                fs = np.asarray(forward_fn(p7, tokens[idx2], lengths[idx2]))
+                fs = _p7_stage(idx2, p7, "forward")
                 fwd_scores[idx2] = fs
                 fwd_pv[idx2] = stats.forward_pvalue(fs, hmm)
                 passed_fwd[idx2] = fwd_pv[idx2] <= self.forward_p

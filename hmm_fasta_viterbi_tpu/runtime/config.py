@@ -24,7 +24,10 @@ class EngineConfig:
     m_bucket: int = 256
     # data loading
     loader: Literal["auto", "native", "python"] = "auto"
-    # mesh (multi-chip)
+    # mesh (multi-chip): use_mesh builds a (mesh_db x mesh_sp) device
+    # mesh (parallel.mesh.make_scan_mesh) and the scanner shards every
+    # staged batch over the db axis
+    use_mesh: bool = False
     mesh_db: int | None = None  # None = all devices on the db axis
     mesh_sp: int = 1
     # search cascade thresholds (HMMER3 defaults)
@@ -53,6 +56,8 @@ class EngineConfig:
                 value = None if raw.lower() == "none" else int(raw)
             elif f.type == "float":
                 value = float(raw)
+            elif f.type == "bool":
+                value = raw.lower() in ("1", "true", "yes", "on")
             else:
                 value = raw
             setattr(cfg, f.name, value)

@@ -235,3 +235,29 @@ def test_posterior_match_xla_vs_oracle(p7_100):
     got, gt = posterior_match_xla(p7_100, tokens)
     assert float(gt) == pytest.approx(float(wt), abs=TOL)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=0)
+
+
+def test_posterior_coverage_batch_vs_single(p7_100):
+    """Batched vmapped coverage (one device call per chunk) must match
+    the per-sequence posterior decode, ragged lengths + chunk padding
+    included (VERDICT r1 #4)."""
+    from hmm_fasta_viterbi_tpu.ops.p7_scan import (
+        posterior_coverage_batch_xla,
+        posterior_match_xla,
+    )
+
+    rng = np.random.default_rng(13)
+    lengths = np.array([40, 7, 33, 40, 18], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(5, 40)).astype(np.int32)
+    cov, totals = posterior_coverage_batch_xla(
+        p7_100, tokens, lengths, chunk=2  # forces a padded last chunk
+    )
+    for b in range(5):
+        post, total = posterior_match_xla(p7_100, tokens[b, : lengths[b]])
+        assert float(totals[b]) == pytest.approx(float(total), abs=TOL)
+        np.testing.assert_allclose(
+            cov[b, : lengths[b]],
+            np.asarray(post).sum(axis=1),
+            atol=1e-4, rtol=0,
+        )
+        assert np.all(cov[b, lengths[b] :] == 0.0)

@@ -182,9 +182,10 @@ def test_viterbi_filter_upper_bound(p7_100):
 
 
 @pytest.mark.parametrize("window", [1, 2, 3, 10])
-def test_viterbi_filter_window_sweep(p7_100, window):
-    """Every truncation window keeps the upper bound; window=10 exceeds
-    full_passes (=7 at m_pad 104) and exercises the untruncated path."""
+def test_viterbi_filter_chain_window_sweep(p7_100, window):
+    """The truncated chain keeps the upper bound for every window;
+    window=10 exceeds full_passes (=7 at m_pad 104) and exercises the
+    untruncated chain path."""
     from hmm_fasta_viterbi_tpu.ops.pallas_p7 import viterbi_filter_pallas
 
     tokens, lengths = _ragged(seed=window)
@@ -207,3 +208,49 @@ def test_viterbi_filter_star_tdd_quirk():
     exact = np.asarray(viterbi_pallas(p7, tokens, lengths, interpret=True))
     filt = np.asarray(viterbi_filter_pallas(p7, tokens, lengths, interpret=True))
     assert np.all(filt >= exact - 1e-6)
+
+
+# ---- long-L Forward accumulation gate (VERDICT r1 #7) -----------------
+
+def test_forward_long_l_accumulation_drift():
+    """16k-step prob-space Forward must stay within tolerance of the
+    oracle. This pins the Kahan-compensated log-scale accumulator
+    (ops/pallas_p7.py _fwd_prob_kernel): without it, thousands of small
+    f32 increments onto a growing log-scale drift by ~ulp(total) *
+    n_groups (measured 4e-2 nats at L=36864 on hardware, ~1e-2 at this
+    length on CPU too — an order of magnitude over this gate)."""
+    from hmm_fasta_viterbi_tpu.ops.reference import forward_oracle_batch
+
+    p7 = P7Profile.from_profile(parse_hmm_text(MINI_HMM))
+    rng = np.random.default_rng(5)
+    L = 16384
+    tokens = rng.integers(0, 20, size=(1, L)).astype(np.int32)
+    lengths = np.array([L], dtype=np.int32)
+    want = forward_oracle_batch(p7, tokens, lengths)
+    got = np.asarray(forward_pallas(p7, tokens, lengths, interpret=True))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=0)
+
+
+def test_length_transition_probs_host_exact():
+    """p_loop/p_move must be the correctly-rounded f32 of the exact
+    real value (f64 division, no log/exp round trip): an in-kernel or
+    log/exp-roundtripped probability carries ~1e-6 relative bias that
+    COMPOUNDS once per residue (the 4e-2-nat drift class; CPU tests
+    cannot catch the TPU-transcendental variant, so the mechanism —
+    host-exact values — is pinned here)."""
+    from hmm_fasta_viterbi_tpu.ops.pallas_p7 import length_transition_probs
+
+    lengths = np.array([0, 1, 7, 3500, 36864, 2**20], dtype=np.int64)
+    got = length_transition_probs(lengths)
+    import decimal
+
+    for k, L in enumerate(lengths):
+        exact_loop = np.float32(
+            decimal.Decimal(int(L)) / decimal.Decimal(int(L) + 3)
+        )
+        exact_move = np.float32(
+            decimal.Decimal(3) / decimal.Decimal(int(L) + 3)
+        )
+        assert got[0, k] == exact_loop, (L, got[0, k], exact_loop)
+        assert got[1, k] == exact_move

@@ -209,3 +209,97 @@ def test_multihost_two_process_smoke():
     if not ok:  # coordinator handshakes can race under load; retry once
         ok, outs = attempt()
     assert ok, outs[0][-2000:] + outs[1][-2000:]
+
+
+def test_mesh_scanner_full_cascade_vs_oracle(batch, profile_dir):
+    """A mesh-carrying MSVScanner shards EVERY cascade stage over the db
+    axis (VERDICT r1 #2): MSV exact + filter, Viterbi exact + filter,
+    Forward — all vs single-device oracles on the 8-device CPU mesh."""
+    from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+    from hmm_fasta_viterbi_tpu.ops.reference import (
+        forward_oracle_batch,
+        viterbi_oracle_batch,
+    )
+    from hmm_fasta_viterbi_tpu.pipeline import MSVScanner
+
+    tokens, lengths = batch
+    hmm = parse_hmm(profile_dir / "100.hmm")
+    msv = MSVProfile.from_profile(hmm)
+    p7 = P7Profile.from_profile(hmm)
+    mesh = make_scan_mesh(db=8, sp=1)
+    sc = MSVScanner(backend="pallas", interpret=True, l_chunk=64, mesh=mesh)
+    staged = sc.stage(tokens, lengths)
+    assert staged.lengths.shape[0] % (8 * 128) == 0
+
+    got = np.asarray(sc.scan(msv, staged))
+    np.testing.assert_allclose(
+        got, msv_oracle_batch(msv, tokens, lengths), atol=TOL, rtol=0
+    )
+    filt = np.asarray(sc.scan_filter(msv, staged))
+    assert np.all(filt >= got - 1e-6)
+
+    vit = np.asarray(sc.scan_p7(p7, staged, stage="viterbi"))
+    np.testing.assert_allclose(
+        vit, viterbi_oracle_batch(p7, tokens, lengths), atol=TOL, rtol=0
+    )
+    vfilt = np.asarray(sc.scan_p7_filter(p7, staged))
+    assert np.all(vfilt >= vit - 1e-6)
+
+    fwd = np.asarray(sc.scan_p7(p7, staged, stage="forward"))
+    np.testing.assert_allclose(
+        fwd, forward_oracle_batch(p7, tokens, lengths), atol=2e-3, rtol=0
+    )
+
+
+def test_mesh_scan_many_stacked(batch, profile_dir):
+    """The stacked multi-profile sweep kernel under shard_map matches
+    per-profile oracle scores."""
+    from hmm_fasta_viterbi_tpu.pipeline import MSVScanner
+
+    tokens, lengths = batch
+    profiles = [
+        MSVProfile.from_profile(parse_hmm(profile_dir / f"{n}.hmm"))
+        for n in (100, 200)
+    ]
+    mesh = make_scan_mesh(db=8, sp=1)
+    sc = MSVScanner(backend="pallas", interpret=True, l_chunk=64, mesh=mesh)
+    staged = sc.stage(tokens, lengths)
+    results = sc.scan_many(profiles, staged)
+    for p in profiles:
+        want = msv_oracle_batch(p, tokens, lengths)
+        np.testing.assert_allclose(results[p.name], want, atol=TOL, rtol=0)
+
+
+def test_mesh_search_pipeline_matches_single_device(profile_dir):
+    """SearchPipeline over a mesh scanner: same hits + scores as the
+    single-device pallas pipeline (consensus sequence must hit)."""
+    from hmm_fasta_viterbi_tpu.io.alphabet import AMINO_ACIDS, encode_sequence
+    from hmm_fasta_viterbi_tpu.pipeline import MSVScanner, SearchPipeline
+
+    hmm = parse_hmm(profile_dir / "100.hmm")
+    best = np.argmax(hmm.match_emissions[1:], axis=1)
+    cons = "".join(AMINO_ACIDS[i] for i in best)
+    rng = np.random.default_rng(3)
+    seq_len = max(len(cons), 120)
+    tokens = rng.integers(0, 20, size=(4, seq_len)).astype(np.int32)
+    lengths = np.full(4, seq_len, dtype=np.int32)
+    tokens[1, : len(cons)] = encode_sequence(cons)
+    lengths[1] = len(cons)
+
+    mesh = make_scan_mesh(db=8, sp=1)
+    sc_mesh = MSVScanner(backend="pallas", interpret=True, l_chunk=64, mesh=mesh)
+    sc_one = MSVScanner(backend="pallas", interpret=True, l_chunk=64)
+    res_mesh = SearchPipeline(
+        sc_mesh, fast_msv=True, fast_viterbi=True
+    ).search(hmm, sc_mesh.stage(tokens, lengths), tokens, lengths)
+    res_one = SearchPipeline(sc_one).search(
+        hmm, sc_one.stage(tokens, lengths), tokens, lengths
+    )
+    assert res_mesh.hits.tolist() == res_one.hits.tolist() == [1]
+    for h in res_mesh.hits:
+        assert res_mesh.viterbi_scores[h] == pytest.approx(
+            res_one.viterbi_scores[h], abs=1e-4
+        )
+        assert res_mesh.forward_scores[h] == pytest.approx(
+            res_one.forward_scores[h], abs=2e-3
+        )
