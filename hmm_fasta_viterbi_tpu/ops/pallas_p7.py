@@ -54,8 +54,15 @@ DEFAULT_L_CHUNK = 256
 STEP_UNROLL = 8
 # filter-mode delete chain: Hillis-Steele passes kept (covers D-runs of
 # length < 2**K exactly); longer runs are upper-bounded by one
-# max(a0)+tail term. See prepare_p7_device_filter.
-FILTER_CHAIN_LOG2 = 3
+# max(a0)+tail term whose penalty is 2^K * max(tdd). The window is
+# auto-picked per profile as the smallest K whose tail penalty reaches
+# FILTER_TAIL_DAMP_NATS: measured on 1400.hmm (tdd_max = -0.374), K=3
+# (tail -3.0) leaves a 9-nat median gap and passes 25% of random
+# sequences at p<=1e-3, while K=4 (tail -6.0) leaves 0.08 nats median /
+# 3.4 max and passes 0.0% — as selective as the exact kernel at ~1.8x
+# its speed. See docs/PERFORMANCE.md.
+FILTER_CHAIN_LOG2 = 4
+FILTER_TAIL_DAMP_NATS = 6.0
 
 
 def _split3(x):
@@ -853,10 +860,25 @@ def e_skip_d_ok(p7: P7Profile) -> bool:
     )
 
 
+def pick_filter_window(p7: P7Profile, m_pad: int) -> int:
+    """Smallest chain window whose tail penalty 2^K * |max(tdd)| reaches
+    FILTER_TAIL_DAMP_NATS — enough damping that the long-run bound stays
+    within a few nats of the true chain (measured: 0.0% false-survivor
+    inflation at the cascade threshold), while profiles with strong
+    deletion penalties get away with fewer passes."""
+    full_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+    finite = p7.tdd[np.isfinite(p7.tdd)]
+    tdd_max = float(finite.max()) if finite.size else float(NEG_INF)
+    if tdd_max >= 0.0 or not np.isfinite(tdd_max):
+        return full_passes
+    need = FILTER_TAIL_DAMP_NATS / -tdd_max
+    return int(np.clip(np.ceil(np.log2(max(need, 1.0))), 1, full_passes))
+
+
 def prepare_p7_device_filter(
     p7: P7Profile,
     m_pad: int | None = None,
-    window_log2: int = FILTER_CHAIN_LOG2,
+    window_log2: int | None = None,
 ):
     """Host packing for the upper-bound Viterbi FILTER kernel.
 
@@ -889,6 +911,8 @@ def prepare_p7_device_filter(
     tdd_max = float(finite.max()) if finite.size else float(NEG_INF)
 
     full_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+    if window_log2 is None:
+        window_log2 = pick_filter_window(p7, m_pad)
     window = min(max(window_log2, 1), full_passes)
     if tdd_max > 0.0:
         # tdd > 0 (malformed profile: prob > 1) breaks the geometric
@@ -928,13 +952,14 @@ def viterbi_filter_pallas(
     lengths,
     l_chunk: int = DEFAULT_L_CHUNK,
     interpret: bool = False,
-    window_log2: int = FILTER_CHAIN_LOG2,
+    window_log2: int | None = None,
 ) -> jax.Array:
     """Upper-bound Viterbi filter scores; f32 [B], every entry >= the
     exact viterbi_pallas score of the same sequence (differential-
     tested). Use to prune before the exact stage — HMMER ViterbiFilter's
     role, built on TPU-native one-sided rounding instead of saturating
-    i16 SIMD."""
+    i16 SIMD. ``window_log2=None`` auto-picks per profile
+    (pick_filter_window)."""
     tokens_t, lengths_p, tr_rows, b, l_chunk = _prepare_tokens(
         tokens, lengths, l_chunk
     )

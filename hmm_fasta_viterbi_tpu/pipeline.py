@@ -384,8 +384,7 @@ class MSVScanner:
             return self.scan_p7(p7, staged, stage="viterbi")
         from .ops import pallas_p7
 
-        if window_log2 is None:
-            window_log2 = pallas_p7.FILTER_CHAIN_LOG2
+        # window_log2=None auto-picks per profile (pick_filter_window)
         key = (id(p7), "p7_filter", window_log2)
         dev = self._cache_get(key, p7)
         if dev is None:
