@@ -385,6 +385,47 @@ def main() -> int:
     if args.cascade and scanner.backend == "pallas":
         _extra(run_cascade)
 
+    def run_posterior():
+        # batched forward-backward domain decode (the --domains path):
+        # 2 DP passes per cell, reported as decode cells/s
+        import time as _time
+
+        from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+        from hmm_fasta_viterbi_tpu.ops.pallas_posterior import (
+            posterior_coverage_batch_pallas,
+        )
+
+        p7 = P7Profile.from_profile(parse_hmm(profile_dir / "1400.hmm"))
+        pb, pl_len = 128, 1024
+        p_tokens, p_lengths = random_tokens(pb, pl_len, seed=2)
+        posterior_coverage_batch_pallas(p7, p_tokens, p_lengths)  # warm
+        best = float("inf")
+        for _ in range(max(args.reps, 2)):
+            t0 = _time.perf_counter()
+            posterior_coverage_batch_pallas(p7, p_tokens, p_lengths)
+            best = min(best, _time.perf_counter() - t0)
+        cells = pb * pl_len * (p7.model_length - 1)
+        extras.append(
+            BenchResult(
+                name=f"posterior_1400_{scanner.backend}",
+                gcups=cells / best / 1e9,
+                seconds=best,
+                cells=cells,
+                batch=pb,
+                seq_len=pl_len,
+                model_length=p7.model_length,
+                repetitions=max(args.reps, 2),
+            )
+        )
+        print(
+            f"# posterior: {cells/best/1e9:.2f} GCUPS decode "
+            f"({best*1e3:.1f} ms, batch {pb} x L {pl_len})",
+            file=sys.stderr,
+        )
+
+    if args.stages and scanner.backend == "pallas":
+        _extra(run_posterior)
+
     def run_oracle():
         # sequential NumPy oracle throughput for context — the bench
         # path the reference's Algorithm_selector::seq would take

@@ -228,7 +228,9 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
         )
         with _out_sink(args) as sink:
             _report_search(
-                hmm, db, result, args, out=sink, tokens=tokens, lengths=lengths
+                hmm, db, result, args, out=sink, tokens=tokens,
+                lengths=lengths, backend=scanner.backend,
+                interpret=scanner.interpret,
             )
         return 0
 
@@ -257,19 +259,31 @@ def _envelope_from_coverage(cov_row: np.ndarray, length: int):
     return int(idx[0]) + 1, int(idx[-1]) + 1, ndom
 
 
-def _hit_envelopes(p7, tokens, lengths, hit_idx: np.ndarray) -> dict:
-    """Batched posterior decode of all hits: ONE vmapped device call per
-    32-hit chunk (ops.p7_scan.posterior_coverage_batch_xla) instead of a
-    per-hit forward+backward loop — --domains wall time is sublinear in
-    hit count."""
-    from .ops.p7_scan import posterior_coverage_batch_xla
-
+def _hit_envelopes(
+    p7, tokens, lengths, hit_idx: np.ndarray, backend: str = "xla",
+    interpret: bool = False,
+) -> dict:
+    """Batched posterior decode of all hits: one device call per hit
+    chunk instead of a per-hit forward+backward loop — --domains wall
+    time is sublinear in hit count. On the pallas backend the two-pass
+    Pallas forward-backward kernel streams coverage directly
+    (ops.pallas_posterior); elsewhere the vmapped lax.scan decode."""
     if not hit_idx.size:
         return {}
     l_max = max(int(lengths[hit_idx].max()), 1)
-    cov, _ = posterior_coverage_batch_xla(
-        p7, tokens[hit_idx, :l_max], lengths[hit_idx]
-    )
+    if backend == "pallas":
+        from .ops.pallas_posterior import posterior_coverage_batch_pallas
+
+        cov, _ = posterior_coverage_batch_pallas(
+            p7, tokens[hit_idx, :l_max], lengths[hit_idx],
+            interpret=interpret,
+        )
+    else:
+        from .ops.p7_scan import posterior_coverage_batch_xla
+
+        cov, _ = posterior_coverage_batch_xla(
+            p7, tokens[hit_idx, :l_max], lengths[hit_idx]
+        )
     return {
         int(i): _envelope_from_coverage(cov[k], int(lengths[i]))
         for k, i in enumerate(hit_idx)
@@ -277,7 +291,8 @@ def _hit_envelopes(p7, tokens, lengths, hit_idx: np.ndarray) -> dict:
 
 
 def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
-                   rows_sink=None) -> None:
+                   rows_sink=None, backend: str = "xla",
+                   interpret: bool = False) -> None:
     out = out if out is not None else sys.stdout
     want_domains = bool(getattr(args, "domains", False)) and tokens is not None
     p7 = None
@@ -288,7 +303,10 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
     order = np.flatnonzero(result.passed_msv)
     order = order[np.argsort(-np.nan_to_num(result.forward_scores[order], nan=-np.inf))]
     envelopes = (
-        _hit_envelopes(p7, tokens, lengths, result.hits)
+        _hit_envelopes(
+            p7, tokens, lengths, result.hits,
+            backend=backend, interpret=interpret,
+        )
         if want_domains
         else {}
     )

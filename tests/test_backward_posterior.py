@@ -261,3 +261,79 @@ def test_posterior_coverage_batch_vs_single(p7_100):
             atol=1e-4, rtol=0,
         )
         assert np.all(cov[b, lengths[b] :] == 0.0)
+
+
+def test_posterior_coverage_pallas_vs_xla(p7_100):
+    """Two-pass Pallas forward-backward decode (interpret) must match
+    the lax.scan coverage path on a ragged batch, totals included."""
+    from hmm_fasta_viterbi_tpu.ops.p7_scan import posterior_coverage_batch_xla
+    from hmm_fasta_viterbi_tpu.ops.pallas_posterior import (
+        posterior_coverage_batch_pallas,
+    )
+
+    rng = np.random.default_rng(17)
+    lengths = np.array([40, 7, 33, 40, 18], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(5, 40)).astype(np.int32)
+    want_cov, want_tot = posterior_coverage_batch_xla(p7_100, tokens, lengths)
+    got_cov, got_tot = posterior_coverage_batch_pallas(
+        p7_100, tokens, lengths, interpret=True
+    )
+    np.testing.assert_allclose(got_tot, want_tot, atol=2e-3, rtol=0)
+    n = min(got_cov.shape[1], want_cov.shape[1])
+    np.testing.assert_allclose(
+        got_cov[:, :n], want_cov[:, :n], atol=1e-3, rtol=0
+    )
+    for b in range(5):
+        assert np.all(got_cov[b, lengths[b]:] == 0.0)
+
+
+def test_posterior_coverage_pallas_mini_multidomain():
+    """Two consensus copies joined by junk must keep two covered
+    segments through the Pallas decode (multihit path via J)."""
+    from hmm_fasta_viterbi_tpu.ops.p7_scan import posterior_coverage_batch_xla
+    from hmm_fasta_viterbi_tpu.ops.pallas_posterior import (
+        posterior_coverage_batch_pallas,
+    )
+
+    p7 = P7Profile.from_profile(parse_hmm_text(MINI_HMM))
+    rng = np.random.default_rng(23)
+    tokens = rng.integers(0, 20, size=(3, 64)).astype(np.int32)
+    lengths = np.array([64, 5, 31], dtype=np.int32)
+    want_cov, want_tot = posterior_coverage_batch_xla(p7, tokens, lengths)
+    got_cov, got_tot = posterior_coverage_batch_pallas(
+        p7, tokens, lengths, interpret=True
+    )
+    np.testing.assert_allclose(got_tot, want_tot, atol=2e-3, rtol=0)
+    n = min(got_cov.shape[1], want_cov.shape[1])
+    np.testing.assert_allclose(got_cov[:, :n], want_cov[:, :n], atol=1e-3, rtol=0)
+
+
+def test_cli_search_domains_pallas_backend(tmp_path, profile_dir, capsys):
+    """--domains through the pallas backend exercises the two-pass
+    Pallas posterior kernel (interpret on CPU) end to end via the CLI."""
+    from hmm_fasta_viterbi_tpu.cli import main
+    from hmm_fasta_viterbi_tpu import parse_hmm
+    from hmm_fasta_viterbi_tpu.io.alphabet import AMINO_ACIDS
+
+    hmm = parse_hmm(profile_dir / "100.hmm")
+    cons = np.argmax(hmm.match_emissions[1:], axis=1)
+    seq = "".join(AMINO_ACIDS[a] for a in cons)
+    fasta = tmp_path / "hit.fsa"
+    fasta.write_text(f">consensus\n{seq}\n>junk\nACDEFGHIKLMNPQRSTVWY\n")
+
+    rc = main(
+        [
+            "scan", "--stage", "search", "--domains",
+            "--backend", "pallas",
+            "--hmm", str(profile_dir / "100.hmm"),
+            "--fasta", str(fasta),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    hit_lines = [l for l in out.splitlines() if l.startswith("consensus")]
+    assert hit_lines, out
+    fields = hit_lines[0].split("\t")
+    env_from, env_to, ndom = int(fields[-3]), int(fields[-2]), int(fields[-1])
+    assert env_from <= 5 and env_to >= len(seq) - 5, (env_from, env_to)
+    assert ndom == 1

@@ -154,3 +154,49 @@ def test_prob_forward_pad_overflow_regression():
     assert np.all(np.isfinite(got)), got
     want = forward_oracle_batch(p7, tokens, lengths)
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=0)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_viterbi_filter_bound(seed):
+    """Upper-bound invariant of the Viterbi prefilter under random
+    profiles (random transition structure stresses the truncated-chain
+    tail term and the per-profile auto window)."""
+    from hmm_fasta_viterbi_tpu.ops.pallas_p7 import viterbi_filter_pallas
+
+    rng = np.random.default_rng(300 + seed)
+    leng = int(rng.integers(3, 40))
+    hmm = random_profile(rng, leng)
+    p7 = P7Profile.from_profile(hmm)
+    lengths = np.array([48, 1, 31, 64], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(4, 64)).astype(np.int32)
+    exact = viterbi_oracle_batch(p7, tokens, lengths)
+    filt = np.asarray(
+        viterbi_filter_pallas(p7, tokens, lengths, interpret=True)
+    )
+    assert np.all(filt >= exact - 1e-6), (filt - exact).min()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_posterior_coverage_pallas(seed):
+    """Two-pass Pallas posterior decode vs the lax.scan coverage on
+    random profiles."""
+    from hmm_fasta_viterbi_tpu.ops.p7_scan import posterior_coverage_batch_xla
+    from hmm_fasta_viterbi_tpu.ops.pallas_posterior import (
+        posterior_coverage_batch_pallas,
+    )
+
+    rng = np.random.default_rng(400 + seed)
+    leng = int(rng.integers(3, 30))
+    hmm = random_profile(rng, leng)
+    p7 = P7Profile.from_profile(hmm)
+    lengths = np.array([40, 3, 25], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(3, 40)).astype(np.int32)
+    want_cov, want_tot = posterior_coverage_batch_xla(p7, tokens, lengths)
+    got_cov, got_tot = posterior_coverage_batch_pallas(
+        p7, tokens, lengths, interpret=True
+    )
+    np.testing.assert_allclose(got_tot, want_tot, atol=2e-3, rtol=0)
+    n = min(got_cov.shape[1], want_cov.shape[1])
+    np.testing.assert_allclose(
+        got_cov[:, :n], want_cov[:, :n], atol=2e-3, rtol=0
+    )

@@ -54,7 +54,10 @@ def main() -> int:
         e = np.abs(np.asarray(got) - np.asarray(want))
         return float("inf") if np.isnan(e).any() else float(e.max())
 
-    worst = {"msv": 0.0, "filter_gap": 0.0, "vit": 0.0, "fwd": 0.0}
+    worst = {
+        "msv": 0.0, "filter_gap": 0.0, "vit": 0.0, "fwd": 0.0,
+        "vfilter_gap": 0.0, "post": 0.0,
+    }
     violations = 0
     for k, p in enumerate(paths):
         hmm = parse_hmm(p)
@@ -85,7 +88,32 @@ def main() -> int:
             gf = np.asarray(sc.scan_p7(p7, staged, stage="forward"))[:3]
             e_fwd = err_of(gf, wf)
             worst["fwd"] = max(worst["fwd"], e_fwd)
-            breach = breach or e_vit > MSV_TOL or e_fwd > FWD_TOL
+            # round 2: upper-bound Viterbi prefilter (zero violations)
+            gvf = np.asarray(sc.scan_p7_filter(p7, staged))
+            gv_all = np.asarray(sc.scan_p7(p7, staged, stage="viterbi"))
+            violations += int(
+                np.isnan(gvf).sum() + (gvf < gv_all - 1e-6).sum()
+            )
+            worst["vfilter_gap"] = max(
+                worst["vfilter_gap"], float((gvf - gv_all).max())
+            )
+            # round 2: two-pass Pallas posterior decode vs lax.scan
+            from hmm_fasta_viterbi_tpu.ops.p7_scan import (
+                posterior_coverage_batch_xla,
+            )
+            from hmm_fasta_viterbi_tpu.ops.pallas_posterior import (
+                posterior_coverage_batch_pallas,
+            )
+
+            pc, pt = posterior_coverage_batch_pallas(p7, tokens[:3], lengths[:3])
+            wc, wt = posterior_coverage_batch_xla(p7, tokens[:3], lengths[:3])
+            n = min(pc.shape[1], wc.shape[1])
+            e_post = max(err_of(pc[:, :n], wc[:, :n]), err_of(pt, wt))
+            worst["post"] = max(worst["post"], e_post)
+            breach = (
+                breach or e_vit > MSV_TOL or e_fwd > FWD_TOL
+                or e_post > FWD_TOL
+            )
         print(
             f"[{k + 1}/{len(paths)}] {p.stem}: "
             + ("TOLERANCE BREACH" if breach else "ok"),
@@ -115,11 +143,14 @@ def main() -> int:
     print(f"filter gap max  {worst['filter_gap']:.3e}  violations: {violations}")
     print(f"viterbi maxerr  {worst['vit']:.3e}  (tol {MSV_TOL})")
     print(f"forward maxerr  {worst['fwd']:.3e}  (tol {FWD_TOL})")
+    print(f"vfilter gap max {worst['vfilter_gap']:.3e}  (bound violations in count above)")
+    print(f"posterior maxerr {worst['post']:.3e}  (tol {FWD_TOL})")
     ok = (
         worst["msv"] <= MSV_TOL
         and violations == 0
         and worst["vit"] <= MSV_TOL
         and worst["fwd"] <= FWD_TOL
+        and worst["post"] <= FWD_TOL
         and long_drift <= 5e-3
         and np.all(np.isfinite(gv))
     )
