@@ -1031,15 +1031,18 @@ def prepare_p7_device_prob(p7: P7Profile, m_pad: int | None = None):
 
 
 @functools.partial(jax.jit, static_argnames=("l_chunk", "interpret", "unroll"))
-def _fwd_prob_padded(
-    modds_t, iodds_t, trans_t, chain_t, tokens_i8_t, lengths, tr_rows,
-    tr_probs, tr_consts, l_chunk: int, interpret: bool,
+def fwd_prob_pallas_call(
+    modds_t, iodds_t, trans_t, chain_t, tokens_t, lengths, tr_rows,
+    tr_probs, tr_consts, m_init, i_init, d_init, s_init,
+    l_chunk: int = DEFAULT_L_CHUNK, interpret: bool = False,
     unroll: int = STEP_UNROLL,
 ):
-    """Jitted prob-space Forward over padded operands -> scores [B_pad].
-    ``tr_probs`` [2, B_pad] carries host-exact p_loop/p_move rows."""
+    """Raw prob-space Forward invocation with explicit DP carries
+    (resume support for the sp-axis wavefront). Returns
+    (scores [B_pad], m/i/d carries, s carry [8, B_pad] incl. the
+    log-scale and Kahan rows)."""
     m_pad = modds_t.shape[0]
-    l_pad, b_pad = tokens_i8_t.shape
+    l_pad, b_pad = tokens_t.shape
     lanes = pick_lanes(b_pad, m_pad, widest=512, m_cap=2048)
     if m_pad > 1536:
         unroll = min(unroll, 2)
@@ -1051,16 +1054,11 @@ def _fwd_prob_padded(
     num_l = l_pad // l_chunk
     lengths2d = lengths.reshape(1, b_pad)
 
-    core_init = jnp.zeros((m_pad, b_pad), dtype=jnp.float32)
-    s_init = jnp.zeros((8, b_pad), dtype=jnp.float32)
-    s_init = s_init.at[2].set(1.0)  # N = 1
-    s_init = s_init.at[3].set(tr_probs[1])  # B = move prob
-
     carry_spec = pl.BlockSpec(
         (m_pad, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM
     )
     s_spec = pl.BlockSpec((8, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM)
-    score, *_ = pl.pallas_call(
+    score, m_out, i_out, d_out, s_out = pl.pallas_call(
         functools.partial(_fwd_prob_kernel, unroll=unroll),
         grid=(num_b, num_l),
         in_specs=[
@@ -1099,10 +1097,32 @@ def _fwd_prob_padded(
         interpret=interpret,
     )(
         modds_t, iodds_t, trans_t, chain_t,
-        tokens_i8_t.astype(jnp.int32), lengths2d, tr_rows, tr_probs,
-        tr_consts, core_init, core_init, core_init, s_init,
+        tokens_t.astype(jnp.int32), lengths2d, tr_rows, tr_probs,
+        tr_consts, m_init, i_init, d_init, s_init,
     )
-    return score[0]
+    return score[0], m_out, i_out, d_out, s_out
+
+
+@functools.partial(jax.jit, static_argnames=("l_chunk", "interpret", "unroll"))
+def _fwd_prob_padded(
+    modds_t, iodds_t, trans_t, chain_t, tokens_i8_t, lengths, tr_rows,
+    tr_probs, tr_consts, l_chunk: int, interpret: bool,
+    unroll: int = STEP_UNROLL,
+):
+    """Jitted prob-space Forward over padded operands -> scores [B_pad].
+    ``tr_probs`` [2, B_pad] carries host-exact p_loop/p_move rows."""
+    m_pad = modds_t.shape[0]
+    b_pad = tokens_i8_t.shape[1]
+    core_init = jnp.zeros((m_pad, b_pad), dtype=jnp.float32)
+    s_init = jnp.zeros((8, b_pad), dtype=jnp.float32)
+    s_init = s_init.at[2].set(1.0)  # N = 1
+    s_init = s_init.at[3].set(tr_probs[1])  # B = move prob
+    score, *_ = fwd_prob_pallas_call(
+        modds_t, iodds_t, trans_t, chain_t, tokens_i8_t, lengths,
+        tr_rows, tr_probs, tr_consts, core_init, core_init, core_init,
+        s_init, l_chunk=l_chunk, interpret=interpret, unroll=unroll,
+    )
+    return score
 
 
 def length_transition_probs(lengths: np.ndarray) -> np.ndarray:

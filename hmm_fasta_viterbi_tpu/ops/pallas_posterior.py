@@ -47,9 +47,22 @@ from .pallas_p7 import (
 from ..models.msv import length_transitions
 
 # VMEM budget: the streamed fm block (l_chunk * m_pad * 128 lanes * 4 B)
-# double-buffers; 32 rows at M=1536 is ~25 MB/buffer
-POST_L_CHUNK = 32
+# double-buffers on top of the DP carries and step temporaries; 16 rows
+# at M=1400 is ~11.5 MB/buffer (32 rows OOMed the 100 MB scoped limit
+# at M=1400 on v5e)
+POST_L_CHUNK = 16
 STEP_UNROLL = 8
+
+
+def _pick_unroll(m_pad: int, l_chunk: int) -> int:
+    unroll = STEP_UNROLL
+    if m_pad > 1536:
+        unroll = 2
+    elif m_pad > 768:
+        unroll = 4
+    while l_chunk % unroll:
+        unroll //= 2
+    return max(unroll, 1)
 
 
 def prepare_suffix_chain(p7: P7Profile, m_pad: int | None = None) -> np.ndarray:
@@ -358,8 +371,7 @@ def _bwd_cov_kernel(
 
 def _pick(m_pad: int) -> tuple[int, int]:
     l_chunk = POST_L_CHUNK if m_pad <= 1536 else POST_L_CHUNK // 2
-    unroll = min(STEP_UNROLL, l_chunk)
-    return l_chunk, unroll
+    return l_chunk, _pick_unroll(m_pad, l_chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -494,8 +506,17 @@ def posterior_coverage_batch_pallas(
     tokens = np.asarray(tokens, dtype=np.int32)
     lengths_np = np.asarray(lengths, dtype=np.int32)
     b, seq_len = tokens.shape
-    l_chunk, _ = _pick(_round_up(max(p7.num_states, 8), 8))
+    m_pad = _round_up(max(p7.num_states, 8), 8)
+    l_chunk, _ = _pick(m_pad)
     l_pad = _round_up(max(seq_len, 1), l_chunk)
+
+    # the streamed alpha rows cost l_pad * m_pad * 128 lanes * 4 B of
+    # HBM per lane-block; past ~4 GB fall back to the lax.scan decode
+    # (slower, O(L*M) too but without the lane-width multiplier)
+    if l_pad * m_pad * LANES * 4 > 4 << 30:
+        from .p7_scan import posterior_coverage_batch_xla
+
+        return posterior_coverage_batch_xla(p7, tokens, lengths_np)
 
     packed = prepare_p7_device_prob(p7)
     schain = prepare_suffix_chain(p7)

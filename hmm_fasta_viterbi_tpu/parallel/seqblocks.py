@@ -341,3 +341,203 @@ def msv_scan_seqblocks(
         jnp.asarray(tr_move),
     )
     return np.asarray(out)[:b]
+
+
+# ---- p7 stages over the sp axis (round 2) -----------------------------
+
+def _wavefront_pallas_p7(
+    msc, isc, trans, chain, tr_consts, tokens_t, lengths, tr_rows,
+    tr_probs, l_chunk, interpret, forward, e_skip_d,
+):
+    """Per-device wavefront body with the Viterbi / prob-space Forward
+    Pallas kernel as the block scanner — the full-cascade extension of
+    :func:`_wavefront_pallas`. Carry per hop: M/I/D rows [M_pad, 128] +
+    specials ([4] Viterbi; [8] Forward, incl. the log-scale and Kahan
+    rows, which make the per-block rescaling exactly resumable)."""
+    from ..ops.pallas_msv import LANES
+    from ..ops.pallas_p7 import fwd_prob_pallas_call, p7_pallas_call
+
+    sp_size = jax.lax.axis_size(SP_AXIS)
+    p = jax.lax.axis_index(SP_AXIS)
+    block_len, b_local = tokens_t.shape
+    m_pad = msc.shape[0]
+    num_groups = b_local // LANES
+    neg = jnp.float32(NEG_INF)
+    s_rows = 8 if forward else 4
+
+    local_lengths = jnp.clip(lengths - p * block_len, 0, block_len).astype(
+        jnp.int32
+    )
+
+    def fresh_state(tr_rows_g, tr_probs_g):
+        if forward:
+            core = jnp.zeros((m_pad, LANES), dtype=jnp.float32)
+            s = jnp.zeros((8, LANES), dtype=jnp.float32)
+            s = s.at[2].set(1.0)  # N = 1
+            s = s.at[3].set(tr_probs_g[1])  # B = move prob
+            return core, s
+        core = jnp.full((m_pad, LANES), neg, dtype=jnp.float32)
+        s = jnp.stack(
+            [
+                jnp.full((LANES,), neg, dtype=jnp.float32),  # J
+                jnp.full((LANES,), neg, dtype=jnp.float32),  # C
+                jnp.zeros((LANES,), dtype=jnp.float32),  # N
+                tr_rows_g[1],  # B = tr_move
+            ]
+        )
+        return core, s
+
+    def round_body(t, state):
+        m_c, i_c, d_c, s_c, out = state
+        g = t - p
+        valid = (g >= 0) & (g < num_groups)
+        g0 = jnp.clip(g, 0, num_groups - 1) * LANES
+
+        toks = jax.lax.dynamic_slice(tokens_t, (0, g0), (block_len, LANES))
+        lens_g = jax.lax.dynamic_slice(local_lengths, (g0,), (LANES,))
+        trr_g = jax.lax.dynamic_slice(tr_rows, (0, g0), (2, LANES))
+        trp_g = jax.lax.dynamic_slice(tr_probs, (0, g0), (2, LANES))
+
+        fresh_core, fresh_s = fresh_state(trr_g, trp_g)
+        m_in = jnp.where(p == 0, fresh_core, m_c)
+        i_in = jnp.where(p == 0, fresh_core, i_c)
+        d_in = jnp.where(p == 0, fresh_core, d_c)
+        s_in = jnp.where(p == 0, fresh_s, s_c)
+
+        lc = min(l_chunk, block_len)
+        if forward:
+            score, m_o, i_o, d_o, s_o = fwd_prob_pallas_call(
+                msc, isc, trans, chain, toks.astype(jnp.int32), lens_g,
+                trr_g, trp_g, tr_consts, m_in, i_in, d_in, s_in,
+                l_chunk=lc, interpret=interpret,
+            )
+        else:
+            score, m_o, i_o, d_o, s_o = p7_pallas_call(
+                msc, isc, trans, chain, toks.astype(jnp.int32), lens_g,
+                trr_g, tr_consts, m_in, i_in, d_in, s_in,
+                l_chunk=lc, interpret=interpret, forward=False,
+                e_skip_d=e_skip_d,
+            )
+        m_o = jnp.where(valid, m_o, m_c)
+        i_o = jnp.where(valid, i_o, i_c)
+        d_o = jnp.where(valid, d_o, d_c)
+        s_o = jnp.where(valid, s_o, s_c)
+
+        emit = (p == sp_size - 1) & valid
+        cur = jax.lax.dynamic_slice(out, (g0,), (LANES,))
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(emit, score, cur), (g0,)
+        )
+
+        perm = [(i, (i + 1) % sp_size) for i in range(sp_size)]
+        m_c, i_c, d_c, s_c = (
+            jax.lax.ppermute(x, SP_AXIS, perm) for x in (m_o, i_o, d_o, s_o)
+        )
+        return m_c, i_c, d_c, s_c, out
+
+    from ..ops.pallas_msv import LANES as _L
+
+    core0 = (
+        jnp.zeros((m_pad, _L), dtype=jnp.float32)
+        if forward
+        else jnp.full((m_pad, _L), neg, dtype=jnp.float32)
+    )
+    s0 = jnp.zeros((s_rows, _L), dtype=jnp.float32)
+    out0 = jnp.zeros((b_local,), dtype=jnp.float32)
+    num_rounds = sp_size + num_groups - 1
+    *_, out = jax.lax.fori_loop(
+        0, num_rounds, round_body, (core0, core0, core0, s0, out0)
+    )
+    return jax.lax.psum(out, SP_AXIS)
+
+
+@functools.lru_cache(maxsize=32)
+def make_seqblock_scanner_p7(
+    mesh: Mesh,
+    forward: bool = False,
+    l_chunk: int = 256,
+    interpret: bool = False,
+    e_skip_d: bool = False,
+):
+    """Jitted (db, sp)-sharded Viterbi / Forward stage scan: residue
+    blocks of each sequence pipeline across the sp axis with the p7
+    Pallas kernels as block scanners (the sp analogue of
+    make_db_p7_scanner)."""
+    fn = functools.partial(
+        _wavefront_pallas_p7,
+        l_chunk=l_chunk,
+        interpret=interpret,
+        forward=forward,
+        e_skip_d=e_skip_d,
+    )
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(), P(),  # profile arrays + tr_consts
+            P(SP_AXIS, DB_AXIS),  # tokens: residue blocks x batch shards
+            P(DB_AXIS),  # lengths
+            P(None, DB_AXIS),  # tr_rows
+            P(None, DB_AXIS),  # tr_probs
+        ),
+        out_specs=P(DB_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def p7_scan_seqblocks_pallas(
+    p7,
+    tokens: np.ndarray,
+    lengths: np.ndarray,
+    mesh: Mesh,
+    stage: str = "viterbi",
+    l_chunk: int = 256,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Viterbi/Forward scores with residue blocks sharded over sp —
+    long-sequence support for the FULL cascade, not just MSV."""
+    from ..ops import pallas_p7
+    from ..ops.pallas_msv import LANES, PAD_TOKEN, blank_ragged_tail
+
+    assert stage in ("viterbi", "forward")
+    forward = stage == "forward"
+    num_db = mesh.shape[DB_AXIS]
+    num_sp = mesh.shape[SP_AXIS]
+    tokens = np.asarray(tokens, dtype=np.int32)
+    lengths = np.asarray(lengths, dtype=np.int32)
+    b, seq_len = tokens.shape
+
+    lane_block = num_db * LANES
+    pad_b = -(-b // lane_block) * lane_block
+    l_chunk = min(l_chunk, -(-seq_len // (num_sp * 32)) * 32)
+    block = num_sp * l_chunk
+    pad_l = -(-seq_len // block) * block
+
+    tokens_t = np.full((pad_l, pad_b), PAD_TOKEN, dtype=np.int8)
+    tokens_t[:seq_len, :b] = tokens.T
+    lengths_p = np.zeros(pad_b, dtype=np.int32)
+    lengths_p[:b] = lengths
+    blank_ragged_tail(tokens_t, lengths_p)
+    tr_loop, tr_move = length_transitions(lengths_p)
+    tr_rows = np.stack([tr_loop, tr_move]).astype(np.float32)
+    tr_probs = pallas_p7.length_transition_probs(lengths_p)
+
+    if forward:
+        packed = pallas_p7.prepare_p7_device_prob(p7)
+        e_skip = False
+    else:
+        packed = pallas_p7.prepare_p7_device(p7)
+        e_skip = pallas_p7.e_skip_d_ok(p7)
+    scanner = make_seqblock_scanner_p7(
+        mesh, forward=forward, l_chunk=l_chunk, interpret=interpret,
+        e_skip_d=e_skip,
+    )
+    out = scanner(
+        *(jnp.asarray(x) for x in packed),
+        jnp.asarray(tokens_t),
+        jnp.asarray(lengths_p),
+        jnp.asarray(tr_rows),
+        jnp.asarray(tr_probs),
+    )
+    return np.asarray(out)[:b]

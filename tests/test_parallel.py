@@ -303,3 +303,51 @@ def test_mesh_search_pipeline_matches_single_device(profile_dir):
         assert res_mesh.forward_scores[h] == pytest.approx(
             res_one.forward_scores[h], abs=2e-3
         )
+
+
+@pytest.mark.parametrize("stage", ["viterbi", "forward"])
+def test_p7_seqblock_wavefront(profile_dir, stage):
+    """p7 stages over the sp axis (round 2): residue blocks of each
+    sequence pipeline across chips with the p7 kernels as block
+    scanners; ragged lengths crossing block boundaries, scores vs the
+    oracle (long-sequence support for the FULL cascade)."""
+    from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+    from hmm_fasta_viterbi_tpu.ops.reference import (
+        forward_oracle_batch,
+        viterbi_oracle_batch,
+    )
+    from hmm_fasta_viterbi_tpu.parallel.seqblocks import (
+        p7_scan_seqblocks_pallas,
+    )
+
+    p7 = P7Profile.from_profile(parse_hmm(profile_dir / "100.hmm"))
+    rng = np.random.default_rng(29)
+    lengths = np.array([300, 1, 170, 64, 299], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(len(lengths), 300)).astype(np.int32)
+    mesh = make_scan_mesh(db=2, sp=4)
+    got = p7_scan_seqblocks_pallas(
+        p7, tokens, lengths, mesh, stage=stage, l_chunk=32, interpret=True
+    )
+    oracle = viterbi_oracle_batch if stage == "viterbi" else forward_oracle_batch
+    want = oracle(p7, tokens, lengths)
+    tol = 1e-4 if stage == "viterbi" else 2e-3
+    np.testing.assert_allclose(got, want, atol=tol, rtol=0)
+
+
+def test_p7_seqblock_pure_sp(profile_dir):
+    from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+    from hmm_fasta_viterbi_tpu.ops.reference import viterbi_oracle_batch
+    from hmm_fasta_viterbi_tpu.parallel.seqblocks import (
+        p7_scan_seqblocks_pallas,
+    )
+
+    p7 = P7Profile.from_profile(parse_hmm(profile_dir / "100.hmm"))
+    rng = np.random.default_rng(31)
+    lengths = np.array([256, 100], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(2, 256)).astype(np.int32)
+    mesh = make_scan_mesh(db=1, sp=8)
+    got = p7_scan_seqblocks_pallas(
+        p7, tokens, lengths, mesh, stage="viterbi", l_chunk=32, interpret=True
+    )
+    want = viterbi_oracle_batch(p7, tokens, lengths)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
