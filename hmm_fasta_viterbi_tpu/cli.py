@@ -161,15 +161,35 @@ def cmd_scan(args) -> int:
         return _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0)
 
 
+def _sp_mesh(args):
+    """The (db, sp) mesh when --mesh requests sp > 1 — served by the
+    wavefront scans (scan --stage msv/viterbi/forward), not the
+    scanner's db sharding."""
+    spec = getattr(args, "mesh", None)
+    if not spec:
+        return None
+    kwargs = _parse_mesh(spec)
+    if kwargs.get("sp", 1) <= 1:
+        return None
+    from .parallel.mesh import make_scan_mesh
+
+    return make_scan_mesh(**kwargs)
+
+
 def _make_scanner(args) -> MSVScanner:
     mesh = None
     if getattr(args, "mesh", None):
-        from .parallel.mesh import make_scan_mesh
-
         kwargs = _parse_mesh(args.mesh)
-        kwargs.pop("sp", None)  # scan sharding uses the db axis
-        mesh = make_scan_mesh(**kwargs)
-        logger.info("mesh: %s", dict(mesh.shape))
+        if kwargs.get("sp", 1) > 1:
+            # sp sharding routes through the seqblock wavefront
+            # (_sp_mesh); the scanner itself stays meshless
+            kwargs = None
+        if kwargs is not None:
+            from .parallel.mesh import make_scan_mesh
+
+            kwargs.pop("sp", None)
+            mesh = make_scan_mesh(**kwargs)
+            logger.info("mesh: %s", dict(mesh.shape))
     if getattr(args, "config", None):
         from .runtime.config import EngineConfig
 
@@ -189,6 +209,40 @@ def _make_scanner(args) -> MSVScanner:
 
 
 def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
+    sp_mesh = _sp_mesh(args)
+    if sp_mesh is not None:
+        # residue blocks sharded over sp (+ batch over db): the
+        # wavefront pipeline, for sequences too long for one chip
+        logger.info("sp wavefront mesh: %s", dict(sp_mesh.shape))
+        if args.stage == "msv":
+            from .parallel.seqblocks import msv_scan_seqblocks_pallas
+
+            scores = msv_scan_seqblocks_pallas(
+                MSVProfile.from_profile(hmm), tokens, lengths, sp_mesh,
+                interpret=scanner.interpret,
+            )
+        elif args.stage in ("viterbi", "forward"):
+            from .models.p7 import P7Profile
+            from .parallel.seqblocks import p7_scan_seqblocks_pallas
+
+            scores = p7_scan_seqblocks_pallas(
+                P7Profile.from_profile(hmm), tokens, lengths, sp_mesh,
+                stage=args.stage, interpret=scanner.interpret,
+            )
+        else:
+            raise ValueError(
+                "--mesh with sp>1 supports --stage msv/viterbi/forward; "
+                "the search cascade shards over db only (use --mesh db=N)"
+            )
+        dt = time.perf_counter() - t0
+        cells = int(lengths.astype(np.int64).sum()) * (hmm.model_length - 1)
+        logger.info(
+            "scanned %d seqs x %s (%s, sp wavefront) in %.3fs (%.2f GCUPS)",
+            len(db), hmm.name, args.stage, dt, cells / dt / 1e9,
+        )
+        with _out_sink(args) as sink:
+            _report(hmm, db, scores, args, out=sink, stage=args.stage)
+        return 0
     if args.stage == "msv":
         profile = MSVProfile.from_profile(hmm)
         if getattr(args, "bucketed", False):
@@ -356,14 +410,20 @@ def cmd_sweep(args) -> int:
     if not paths:
         logger.error("no .hmm files in %s", args.hmm_dir)
         return 1
+    if _sp_mesh(args) is not None:
+        logger.error("sweep does not support --mesh sp>1; use --mesh db=N")
+        return 2
     db = load_fasta(args.fasta, prefer=args.loader)
     scanner = _make_scanner(args)
     tokens, lengths = db.encode()
-    staged = scanner.stage(tokens, lengths)
+    # NOTE: no up-front staging here — the checkpoint path restages per
+    # shard (the whole point of bounding resident/upload cost) and the
+    # bucketed path stages its own buckets
     if getattr(args, "stage", "msv") == "search":
         # hmmscan-shaped sweep: the full cascade per profile against the
         # one staged database (optionally with the bf16 MSV prefilter)
         from .pipeline import SearchPipeline
+        staged = scanner.stage(tokens, lengths)
         fast = getattr(args, "fast", False)
         pipeline = SearchPipeline(scanner, fast_msv=fast, fast_viterbi=fast)
         with _out_sink(args) as sink, _json_accumulator(args, sink) as acc:
@@ -416,7 +476,7 @@ def cmd_sweep(args) -> int:
         # the sweep24 optimization composed with ragged staging
         results = scanner.scan_many_bucketed(profiles, bucketed)
     else:
-        results = scanner.scan_many(profiles, staged)
+        results = scanner.scan_many(profiles, scanner.stage(tokens, lengths))
     with _out_sink(args) as sink, _json_accumulator(args, sink) as acc:
         for profile in profiles:
             _report(

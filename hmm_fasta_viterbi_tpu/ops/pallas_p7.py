@@ -60,9 +60,26 @@ STEP_UNROLL = 8
 # (tail -3.0) leaves a 9-nat median gap and passes 25% of random
 # sequences at p<=1e-3, while K=4 (tail -6.0) leaves 0.08 nats median /
 # 3.4 max and passes 0.0% — as selective as the exact kernel at ~1.8x
-# its speed. See docs/PERFORMANCE.md.
-FILTER_CHAIN_LOG2 = 4
-FILTER_TAIL_DAMP_NATS = 6.0
+# its speed. See docs/PERFORMANCE.md. The threshold sits a quarter nat
+# under the measured-adequate 6.0 so the tuning profile itself (tail
+# 5.99) picks K=4, not K=5.
+FILTER_TAIL_DAMP_NATS = 5.75
+
+
+def pick_p7_unroll(m_pad: int, l_chunk: int, base: int = 8) -> int:
+    """VMEM-driven step-unroll clamp shared by every p7-layout kernel
+    (exact, filter, prob-space Forward, posterior passes): three
+    [M_pad, lanes] carries plus per-step temporaries scale with the
+    unrolled body, so larger models unroll less. One definition so a
+    retuning cannot leave the kernels divergent."""
+    unroll = base
+    if m_pad > 1536:
+        unroll = min(unroll, 2)
+    elif m_pad > 768:
+        unroll = min(unroll, 4)
+    while l_chunk % unroll:
+        unroll //= 2
+    return max(unroll, 1)
 
 
 def _split3(x):
@@ -293,12 +310,7 @@ def p7_pallas_call(
     # unroll down for large models to bound the VMEM scoped allocation;
     # 256-lane tiles (more ILP on the chain) when batch and VMEM allow
     lanes = pick_lanes(b_pad, m_pad, widest=512, m_cap=2048)
-    if m_pad > 1536:
-        unroll = min(unroll, 2)
-    elif m_pad > 768:
-        unroll = min(unroll, 4)
-    while l_chunk % unroll:
-        unroll //= 2
+    unroll = pick_p7_unroll(m_pad, l_chunk, unroll)
     num_b = b_pad // lanes
     num_l = l_pad // l_chunk
     lengths2d = lengths.reshape(1, b_pad)
@@ -769,12 +781,7 @@ def _p7_filter_padded(
     m_pad = msc_bf.shape[0]
     l_pad, b_pad = tokens_i8_t.shape
     lanes = pick_lanes(b_pad, m_pad, widest=512, m_cap=2048)
-    if m_pad > 1536:
-        unroll = min(unroll, 2)
-    elif m_pad > 768:
-        unroll = min(unroll, 4)
-    while l_chunk % unroll:
-        unroll //= 2
+    unroll = pick_p7_unroll(m_pad, l_chunk, unroll)
     num_b = b_pad // lanes
     num_l = l_pad // l_chunk
     lengths2d = lengths.reshape(1, b_pad)
@@ -1044,12 +1051,7 @@ def fwd_prob_pallas_call(
     m_pad = modds_t.shape[0]
     l_pad, b_pad = tokens_t.shape
     lanes = pick_lanes(b_pad, m_pad, widest=512, m_cap=2048)
-    if m_pad > 1536:
-        unroll = min(unroll, 2)
-    elif m_pad > 768:
-        unroll = min(unroll, 4)
-    while l_chunk % unroll:
-        unroll //= 2
+    unroll = pick_p7_unroll(m_pad, l_chunk, unroll)
     num_b = b_pad // lanes
     num_l = l_pad // l_chunk
     lengths2d = lengths.reshape(1, b_pad)

@@ -42,6 +42,7 @@ from .pallas_p7 import (
     _select3,
     _split3,
     length_transition_probs,
+    pick_p7_unroll,
     prepare_p7_device_prob,
 )
 from ..models.msv import length_transitions
@@ -52,17 +53,6 @@ from ..models.msv import length_transitions
 # at M=1400 on v5e)
 POST_L_CHUNK = 16
 STEP_UNROLL = 8
-
-
-def _pick_unroll(m_pad: int, l_chunk: int) -> int:
-    unroll = STEP_UNROLL
-    if m_pad > 1536:
-        unroll = 2
-    elif m_pad > 768:
-        unroll = 4
-    while l_chunk % unroll:
-        unroll //= 2
-    return max(unroll, 1)
 
 
 def prepare_suffix_chain(p7: P7Profile, m_pad: int | None = None) -> np.ndarray:
@@ -91,7 +81,7 @@ def prepare_suffix_chain(p7: P7Profile, m_pad: int | None = None) -> np.ndarray:
 
 def _fwd_save_kernel(
     modds_ref, iodds_ref, trans_ref, chain_ref,
-    tokens_ref, lengths_ref, tr_prob_ref, tr_row_ref,
+    tokens_ref, lengths_ref, tr_prob_ref, tr_row_ref, tr_const_ref,
     m_in_ref, i_in_ref, d_in_ref, s_in_ref,
     score_ref, fm_ref, ls_ref, m_out_ref, i_out_ref, d_out_ref, s_out_ref,
     *, unroll: int,
@@ -115,9 +105,11 @@ def _fwd_save_kernel(
 
     p_loop = tr_prob_ref[0:1, :]
     p_move = tr_prob_ref[1:2, :]
-    pk_b_mk = tr_prob_ref[2, 0]
-    pk_e_c = tr_prob_ref[2, 1]
-    pk_e_j = tr_prob_ref[2, 2]
+    # per-profile scalars ride SMEM (a lane-row would only reach the
+    # first 128-lane block)
+    pk_b_mk = tr_const_ref[0, 0]
+    pk_e_c = tr_const_ref[0, 1]
+    pk_e_j = tr_const_ref[0, 2]
     lengths = lengths_ref[0:1, :]
     n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
 
@@ -214,7 +206,7 @@ def _fwd_save_kernel(
 
 def _bwd_cov_kernel(
     modds_ref, iodds_ref, trans_ref, schain_ref,
-    tokens_ref, lengths_ref, tr_prob_ref, total_ref,
+    tokens_ref, lengths_ref, tr_prob_ref, tr_const_ref, total_ref,
     fm_ref, ls_ref,
     bm_in_ref, bi_in_ref, s_in_ref,
     cov_ref, bm_out_ref, bi_out_ref, s_out_ref,
@@ -245,9 +237,9 @@ def _bwd_cov_kernel(
 
     p_loop = tr_prob_ref[0:1, :]
     p_move = tr_prob_ref[1:2, :]
-    pk_b_mk = tr_prob_ref[2, 0]
-    pk_e_c = tr_prob_ref[2, 1]
-    pk_e_j = tr_prob_ref[2, 2]
+    pk_b_mk = tr_const_ref[0, 0]
+    pk_e_c = tr_const_ref[0, 1]
+    pk_e_j = tr_const_ref[0, 2]
     lengths = lengths_ref[0:1, :]
     total = total_ref[0:1, :]
     n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
@@ -371,19 +363,20 @@ def _bwd_cov_kernel(
 
 def _pick(m_pad: int) -> tuple[int, int]:
     l_chunk = POST_L_CHUNK if m_pad <= 1536 else POST_L_CHUNK // 2
-    return l_chunk, _pick_unroll(m_pad, l_chunk)
+    return l_chunk, pick_p7_unroll(m_pad, l_chunk, STEP_UNROLL)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _posterior_padded(
     modds_t, iodds_t, trans_t, chain_t, schain_t, tokens_i8_t, lengths,
-    tr_rows, tr_probs3, interpret: bool,
+    tr_rows, tr_probs, tr_consts, interpret: bool,
 ):
     """Two pallas passes over padded operands.
 
     Returns (cov [L_pad, B_pad] f32, totals [B_pad] f32 log-space).
-    ``tr_probs3`` is [3, B_pad]: p_loop row, p_move row, and row 2
-    packing the scalar (B->Mk, E->C, E->J) probabilities in cols 0..2.
+    ``tr_probs`` is [2, B_pad] (host-exact p_loop/p_move rows);
+    ``tr_consts`` is the [1, 3] (B->Mk, E->C, E->J) probability scalars
+    (SMEM — a lane row would only reach the first 128-lane block).
     """
     m_pad = modds_t.shape[0]
     l_pad, b_pad = tokens_i8_t.shape
@@ -398,7 +391,7 @@ def _posterior_padded(
     core0 = jnp.zeros((m_pad, b_pad), dtype=jnp.float32)
     s0 = jnp.zeros((8, b_pad), dtype=jnp.float32)
     s0 = s0.at[2].set(1.0)  # N = 1
-    s0 = s0.at[3].set(tr_probs3[1])  # B = move prob
+    s0 = s0.at[3].set(tr_probs[1])  # B = move prob
 
     carry_spec = pl.BlockSpec(
         (m_pad, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM
@@ -414,7 +407,8 @@ def _posterior_padded(
         (l_chunk, lanes), lambda b, l: (l, b), memory_space=pltpu.VMEM
     )
     row_spec = pl.BlockSpec((1, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM)
-    probs_spec = pl.BlockSpec((3, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM)
+    probs_spec = pl.BlockSpec((2, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     fm_spec = pl.BlockSpec(
         (l_chunk, m_pad, lanes), lambda b, l: (l, 0, b), memory_space=pltpu.VMEM
     )
@@ -428,9 +422,10 @@ def _posterior_padded(
         in_specs=prof_specs + [
             tok_spec, row_spec, probs_spec,
             pl.BlockSpec((2, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            smem_spec,
             carry_spec, carry_spec, carry_spec, s_spec,
         ],
-        input_output_aliases={8: 3, 9: 4, 10: 5, 11: 6},
+        input_output_aliases={9: 3, 10: 4, 11: 5, 12: 6},
         out_specs=(
             row_spec, fm_spec, ls_spec,
             carry_spec, carry_spec, carry_spec, s_spec,
@@ -450,7 +445,7 @@ def _posterior_padded(
         interpret=interpret,
     )(
         modds_t, iodds_t, trans_t, chain_t, tokens32, lengths2d,
-        tr_probs3, tr_rows, core0, core0, core0, s0,
+        tr_probs, tr_rows, tr_consts, core0, core0, core0, s0,
     )
 
     rev = lambda b, l: ((num_l - 1 - l), b)  # noqa: E731
@@ -466,11 +461,11 @@ def _posterior_padded(
         grid=(num_b, num_l),
         in_specs=prof_specs[:3] + [
             pl.BlockSpec((m_pad, 16), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
-            tok_rev, row_spec, probs_spec, row_spec,
+            tok_rev, row_spec, probs_spec, smem_spec, row_spec,
             fm_rev, ls_rev,
             carry_spec, carry_spec, s_spec,
         ],
-        input_output_aliases={10: 1, 11: 2, 12: 3},
+        input_output_aliases={11: 1, 12: 2, 13: 3},
         out_specs=(cov_rev, carry_spec, carry_spec, s_spec),
         out_shape=(
             jax.ShapeDtypeStruct((l_pad, b_pad), jnp.float32),
@@ -484,7 +479,7 @@ def _posterior_padded(
         interpret=interpret,
     )(
         modds_t, iodds_t, trans_t, schain_t, tokens32, lengths2d,
-        tr_probs3, score, fm, ls, core0, core0, sb0,
+        tr_probs, tr_consts, score, fm, ls, core0, core0, sb0,
     )
     return cov, score[0]
 
@@ -522,6 +517,7 @@ def posterior_coverage_batch_pallas(
     schain = prepare_suffix_chain(p7)
     dev = tuple(jnp.asarray(x) for x in packed[:4])
     schain_dev = jnp.asarray(schain)
+    tr_consts = jnp.asarray(packed[4])  # [1, 3] probability scalars
 
     cov_out = np.zeros((b, l_pad), dtype=np.float32)
     tot_out = np.zeros(b, dtype=np.float32)
@@ -537,14 +533,11 @@ def posterior_coverage_batch_pallas(
         tr_loop, tr_move = length_transitions(lens_p)
         tr_rows = np.stack([tr_loop, tr_move]).astype(np.float32)
         probs2 = length_transition_probs(lens_p)  # [2, B_pad]
-        row3 = np.zeros((1, b_pad), dtype=np.float32)
-        row3[0, :3] = packed[4][0]  # B->Mk, E->C, E->J probabilities
-        tr_probs3 = np.concatenate([probs2, row3], axis=0)
 
         cov, tot = _posterior_padded(
             *dev, schain_dev,
             jnp.asarray(tok_t), jnp.asarray(lens_p),
-            jnp.asarray(tr_rows), jnp.asarray(tr_probs3),
+            jnp.asarray(tr_rows), jnp.asarray(probs2), tr_consts,
             interpret=interpret,
         )
         cov_out[lo:hi] = np.asarray(cov)[:, :nb].T

@@ -337,3 +337,33 @@ def test_cli_search_domains_pallas_backend(tmp_path, profile_dir, capsys):
     env_from, env_to, ndom = int(fields[-3]), int(fields[-2]), int(fields[-1])
     assert env_from <= 5 and env_to >= len(seq) - 5, (env_from, env_to)
     assert ndom == 1
+
+
+def test_posterior_coverage_pallas_multi_lane_block():
+    """batch_chunk > 128 pads to multiple 128-lane blocks; the profile
+    scalars must reach every block (they ride SMEM — a lane-row packing
+    only reached block 0, zeroing B->Mk for rows 128+ and NaN-ing their
+    coverage)."""
+    from hmm_fasta_viterbi_tpu.ops.p7_scan import posterior_coverage_batch_xla
+    from hmm_fasta_viterbi_tpu.ops.pallas_posterior import (
+        posterior_coverage_batch_pallas,
+    )
+
+    p7 = P7Profile.from_profile(parse_hmm_text(MINI_HMM))
+    rng = np.random.default_rng(41)
+    b = 140  # > 128: second lane block
+    tokens = rng.integers(0, 20, size=(b, 24)).astype(np.int32)
+    lengths = np.full(b, 24, dtype=np.int32)
+    lengths[135] = 5
+    got_cov, got_tot = posterior_coverage_batch_pallas(
+        p7, tokens, lengths, interpret=True, batch_chunk=256
+    )
+    assert np.isfinite(got_tot).all(), got_tot
+    want_cov, want_tot = posterior_coverage_batch_xla(
+        p7, tokens[130:], lengths[130:]
+    )
+    np.testing.assert_allclose(got_tot[130:], want_tot, atol=2e-3, rtol=0)
+    n = min(got_cov.shape[1], want_cov.shape[1])
+    np.testing.assert_allclose(
+        got_cov[130:, :n], want_cov[:, :n], atol=2e-3, rtol=0
+    )

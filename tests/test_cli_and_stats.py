@@ -211,3 +211,22 @@ def test_cli_sweep_checkpoint_resume(profile_dir, fasta_dir, tmp_path, capsys):
     assert second == first
     for p in sorted(ckpt.glob("*.npz")):
         assert os.stat(p).st_mtime_ns == mtimes[p.name]  # not recomputed
+
+
+def test_cli_mesh_sp_wavefront(profile_dir, fasta_dir, capsys):
+    """--mesh db=2,sp=4 routes the scan through the sequence-block
+    wavefront (residue blocks across chips); scores match the plain
+    run."""
+    args = [
+        "scan", "--hmm", str(profile_dir / "100.hmm"),
+        "--fasta", str(fasta_dir / "fasta_like_example.fsa"),
+        "--format", "json",
+    ]
+    assert main(args + ["--mesh", "db=2,sp=4", "--backend", "pallas"]) == 0
+    sp_rows = json.loads(capsys.readouterr().out)
+    assert main(args + ["--backend", "xla"]) == 0
+    plain_rows = json.loads(capsys.readouterr().out)
+    by_target = {r["target"]: r["score_nats"] for r in plain_rows}
+    assert len(sp_rows) == 4
+    for r in sp_rows:
+        assert r["score_nats"] == pytest.approx(by_target[r["target"]], abs=1e-4)
