@@ -351,6 +351,9 @@ def main() -> int:
         cells = int(c_lengths.astype(np.int64).sum()) * (
             headline_profile.model_length - 1
         )
+        # fused=True is deliberately NOT benched by default: measured a
+        # net loss (docs/PERFORMANCE.md "fused single-dispatch cascade")
+        # and its compile is expensive
         for label, pipe in (
             ("cascade_1400", SearchPipeline(scanner)),
             (

@@ -268,7 +268,10 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
 
         staged = scanner.stage(tokens, lengths)
         fast = getattr(args, "fast", False)
-        pipeline = SearchPipeline(scanner, fast_msv=fast, fast_viterbi=fast)
+        pipeline = SearchPipeline(
+            scanner, fast_msv=fast, fast_viterbi=fast,
+            fused=getattr(args, "fused", False),
+        )
         result = pipeline.search(hmm, staged, tokens, lengths)
         dt = time.perf_counter() - t0
         logger.info(
@@ -516,6 +519,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="search stage: bf16 upper-bound MSV + Viterbi prefilters "
         "with exact rescore of survivors",
+    )
+    scan.add_argument(
+        "--fused",
+        action="store_true",
+        help="search stage: run the whole cascade as one device program "
+        "(prefilters + compaction + rescore on-device; identical hits)",
     )
     scan.add_argument(
         "--domains",

@@ -593,6 +593,181 @@ class MSVScanner:
         return results
 
 
+def gumbel_score_threshold(p: float, mu: float, lam: float) -> float:
+    """Smallest nat score with Gumbel P-value <= p (exact f64 inverse):
+    pv(b) <= p  <=>  b_bits >= mu - ln(-ln(1-p)) / lambda."""
+    import math
+
+    bits = mu - math.log(-math.log1p(-p)) / lam
+    return bits * math.log(2.0)
+
+
+def exp_tail_score_threshold(p: float, tau: float, lam: float) -> float:
+    """Smallest nat score with exponential-tail P-value <= p."""
+    import math
+
+    bits = tau - math.log(p) / lam
+    return bits * math.log(2.0)
+
+
+def _conservative_f32(x: float) -> np.float32:
+    """One-ulp-down f32 threshold: device pruning with it passes a
+    SUPERSET of what the host's exact f64 decision passes (extras get
+    exact-rescored and re-thresholded on host — never a lost hit)."""
+    return np.nextafter(np.float32(x), np.float32(-np.inf), dtype=np.float32)
+
+
+def _compact_matrix(alive: jax.Array, cap: int):
+    """[B] bool -> ([B, cap] f32 one-hot compaction matrix, count).
+
+    Survivor b (in original order) maps to column cumsum(alive)[b]-1.
+    Built from cumsum + compare only: XLA's argsort AND gather each
+    cost ~20 ms on TPU at ANY size (measured — they lower to serial
+    index loops), while cumsum/compare/matmul are vector-native.
+    Survivors beyond ``cap`` get no column (the host checks the count
+    and falls back)."""
+    pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    onehot = alive[:, None] & (
+        pos[:, None] == jnp.arange(cap, dtype=jnp.int32)[None, :]
+    )
+    return onehot.astype(jnp.float32), jnp.sum(alive.astype(jnp.int32))
+
+
+def _compact_i8(x_i8: jax.Array, onehot_f32: jax.Array) -> jax.Array:
+    """Column compaction [L, B] int8 @ [B, cap] -> [L, cap] int8 via a
+    one-hot bf16 MXU matmul (tokens are small ints — exact in bf16; the
+    one-hot sums exactly one term into the f32 accumulator)."""
+    out = jax.lax.dot_general(
+        x_i8.astype(jnp.bfloat16), onehot_f32.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(jnp.int8)
+
+
+def _compact_f32(x: jax.Array, onehot_f32: jax.Array) -> jax.Array:
+    """Row compaction [R, B] f32 @ [B, cap] -> [R, cap], EXACT: with
+    Precision.HIGHEST the bf16-split one-hot select reconstructs each
+    f32 value bit-exactly (1.0 splits exactly; single-term sum)."""
+    return jax.lax.dot_general(
+        x, onehot_f32, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "l_chunk", "interpret", "cap1", "cap2", "filter_window", "e_skip_d"
+    ),
+)
+def _fused_cascade(
+    # MSV filter + exact (per-profile device arrays)
+    msv_filter_t, msv_scores_t, msv_consts,
+    # Viterbi filter pack
+    vf_msc, vf_isc, vf_trans, vf_chain, vf_consts,
+    # Viterbi exact pack
+    v_msc, v_isc, v_trans, v_chain, v_consts,
+    # Forward (prob space) pack
+    f_modds, f_iodds, f_trans, f_chain, f_consts,
+    # staged database
+    tokens_i8_t, lengths, tr_rows, tr_probs,
+    # conservative f32 nat-score thresholds: [msv, viterbi]
+    thresholds,
+    l_chunk: int,
+    interpret: bool,
+    cap1: int,
+    cap2: int,
+    filter_window: int,
+    e_skip_d: bool,
+):
+    """The whole hmmsearch acceleration cascade as ONE XLA program.
+
+    MSV filter -> device threshold -> compact survivors (cap1 lanes) ->
+    exact MSV rescore -> threshold -> compact (cap2) -> Viterbi filter
+    -> Viterbi exact -> Forward, with every intermediate crossing
+    staying on device. The host-orchestrated cascade pays this
+    environment's ~36 ms dispatch latency per stage crossing (~6x);
+    fused, the program dispatches once.
+
+    Pruning uses one-ulp-down f32 score thresholds (superset of the
+    host's f64 decisions); the host recomputes final P-values from the
+    returned scores, so hit sets match the unfused pipeline exactly.
+    NO index vectors cross stages: compaction is cumsum + one-hot
+    matmuls (sort/gather-free — see _compact_matrix), and the host
+    reconstructs the survivor index maps from the returned scores with
+    the same f32 threshold compares. Returns (filt, n1, exact1, n2,
+    vfilt, n3, vit, fwd); any n over its cap signals capacity overflow
+    (host falls back to the staged pipeline).
+    """
+    from .ops import pallas_p7
+
+    # stage 1: MSV filter over the full database
+    filt = pallas_msv._msv_pallas_padded(
+        msv_filter_t, tokens_i8_t, lengths, tr_rows, msv_consts,
+        l_chunk=l_chunk, interpret=interpret,
+        exact=False, skip_row0_guard=True,
+    )[0]
+    alive1 = (filt >= thresholds[0]) & (lengths > 0)
+    oh1, n1 = _compact_matrix(alive1, cap1)
+
+    len_f = lengths.astype(jnp.float32)[None, :]
+    # tr_loop is -inf for length-0 pad lanes and (-inf)*0 NaNs the
+    # one-hot matmul; survivors always have length > 0, so a finite
+    # stand-in is exact for every selected column
+    tr_rows_fin = jnp.where(
+        jnp.isfinite(tr_rows), tr_rows, jnp.float32(pallas_msv.PAD_SCORE)
+    )
+    sub_tok1 = _compact_i8(tokens_i8_t, oh1)
+    sub_len1 = _compact_f32(len_f, oh1)[0].astype(jnp.int32)
+    sub_trr1 = _compact_f32(tr_rows_fin, oh1)
+    sub_trp1 = _compact_f32(tr_probs, oh1)
+    in1 = jnp.arange(cap1, dtype=jnp.int32) < n1
+
+    # stage 2: exact MSV rescore of filter survivors
+    exact1 = pallas_msv._msv_pallas_padded(
+        msv_scores_t, sub_tok1, sub_len1, sub_trr1, msv_consts,
+        l_chunk=l_chunk, interpret=interpret,
+    )[0]
+    alive2 = in1 & (exact1 >= thresholds[0])
+    oh2, n2 = _compact_matrix(alive2, cap2)
+    sub_tok2 = _compact_i8(sub_tok1, oh2)
+    sub_len2 = _compact_f32(sub_len1.astype(jnp.float32)[None, :], oh2)[0].astype(jnp.int32)
+    sub_trr2 = _compact_f32(sub_trr1, oh2)
+    sub_trp2 = _compact_f32(sub_trp1, oh2)
+
+    # stage 3: Viterbi filter on the cap2 survivor lanes, then exact
+    # Viterbi / Forward unconditionally — a measured lax.cond skip costs
+    # MORE than the 128-lane kernels it would skip (~65 ms of
+    # conditional overhead vs ~28 ms of kernels on v5e)
+    vfilt = pallas_p7._p7_filter_padded(
+        vf_msc, vf_isc, vf_trans, vf_chain, sub_tok2, sub_len2,
+        sub_trr2, vf_consts, l_chunk=l_chunk, interpret=interpret,
+        filter_window=filter_window, e_skip_d=e_skip_d,
+    )
+    alive3 = (jnp.arange(cap2, dtype=jnp.int32) < n2) & (
+        vfilt >= thresholds[1]
+    )
+    cap3 = min(cap2, pallas_msv.LANES)
+    oh3, n3 = _compact_matrix(alive3, cap3)
+    sub_tok3 = _compact_i8(sub_tok2, oh3)
+    sub_len3 = _compact_f32(sub_len2.astype(jnp.float32)[None, :], oh3)[0].astype(jnp.int32)
+    sub_trr3 = _compact_f32(sub_trr2, oh3)
+    sub_trp3 = _compact_f32(sub_trp2, oh3)
+    vit = pallas_p7._p7_pallas_padded(
+        v_msc, v_isc, v_trans, v_chain, sub_tok3, sub_len3,
+        sub_trr3, v_consts, l_chunk=l_chunk, interpret=interpret,
+        forward=False, e_skip_d=e_skip_d,
+    )
+    fwd = pallas_p7._fwd_prob_padded(
+        f_modds, f_iodds, f_trans, f_chain, sub_tok3, sub_len3,
+        sub_trr3, sub_trp3, f_consts, l_chunk=l_chunk,
+        interpret=interpret,
+    )
+    return filt, n1, exact1, n2, vfilt, n3, vit, fwd
+
+
 def select_p7_fns(backend: str, interpret: bool = False):
     """(viterbi_fn, forward_fn) for a backend: Pallas kernels on TPU
     (ops.pallas_p7), lax.scan elsewhere (ops.p7_scan)."""
@@ -683,6 +858,7 @@ class SearchPipeline:
         forward_p: float = 1e-5,
         fast_msv: bool = False,
         fast_viterbi: bool = False,
+        fused: bool = False,
     ):
         self.scanner = scanner or MSVScanner()
         self.msv_p = msv_p
@@ -696,17 +872,177 @@ class SearchPipeline:
         # Viterbi stage (truncated-chain bf16 filter kernel, HMMER
         # ViterbiFilter's role) — exact-rescore only its survivors
         self.fast_viterbi = fast_viterbi
+        # fused: run the whole cascade as ONE device program
+        # (_fused_cascade) when the backend allows; identical hit sets,
+        # ~one dispatch instead of ~six. Falls back to the staged path
+        # on capacity overflow / non-pallas / mesh scanners.
+        self.fused = fused
 
     def _p7_fns(self):
         """Viterbi/Forward implementations following the scanner backend
         (Pallas kernels on TPU, lax.scan on CPU/XLA)."""
         return select_p7_fns(self.scanner.backend, self.scanner.interpret)
 
+    def _fused_packs(self, hmm):
+        """Device arrays + statics for _fused_cascade, cached per hmm."""
+        from .ops import pallas_p7
+
+        sc = self.scanner
+        key = (id(hmm), "fused")
+        entry = sc._cache_get(key, hmm)
+        if entry is not None:
+            return entry
+        from .models.p7 import P7Profile
+
+        msvp = MSVProfile.from_profile(hmm)
+        p7 = P7Profile.from_profile(hmm)
+        mr = msvp.num_states
+        m_pad_f = _round_up(mr + 1, sc.m_bucket)  # +1: skip_row0_guard
+        m_pad = _round_up(mr, sc.m_bucket)
+        msv_filter_t = pallas_msv.prepare_scores_t_filter(msvp, m_pad_f)[None]
+        msv_scores_t = pallas_msv.prepare_scores_t(msvp, m_pad)[None]
+        msv_consts = np.array(
+            [[msvp.tr_B_Mk, msvp.tr_E_C, msvp.tr_E_J]], dtype=np.float32
+        )
+        vf_pack = pallas_p7.prepare_p7_device_filter(p7)
+        v_pack = pallas_p7.prepare_p7_device(p7)
+        f_pack = pallas_p7.prepare_p7_device_prob(p7)
+        thr = np.array(
+            [
+                _conservative_f32(
+                    gumbel_score_threshold(
+                        self.msv_p,
+                        hmm.stats_local_msv_mu,
+                        hmm.stats_local_msv_lambda,
+                    )
+                ),
+                _conservative_f32(
+                    gumbel_score_threshold(
+                        self.viterbi_p,
+                        hmm.stats_local_viterbi_mu,
+                        hmm.stats_local_viterbi_lambda,
+                    )
+                ),
+            ],
+            dtype=np.float32,
+        )
+        entry = (
+            tuple(
+                jnp.asarray(x)
+                for x in (
+                    msv_filter_t, msv_scores_t, msv_consts,
+                    *vf_pack[:5], *v_pack, *f_pack, thr,
+                )
+            ),
+            vf_pack[5],  # filter_window
+            vf_pack[6] and pallas_p7.e_skip_d_ok(p7),  # e_skip_d
+        )
+        return sc._cache_put(key, hmm, entry)
+
+    def _search_fused(self, hmm, staged: StagedDatabase):
+        """One-dispatch cascade; None when ineligible or over capacity."""
+        from .models import stats
+
+        sc = self.scanner
+        if sc.backend != "pallas" or sc.mesh is not None:
+            return None
+        arrays, window, eskip = self._fused_packs(hmm)
+        b = staged.num_sequences
+        b_pad = staged.tokens_i8_t.shape[1]
+        cap1 = int(np.clip(
+            _round_up(int(b_pad * self.msv_p * 6) + 64, pallas_msv.LANES),
+            pallas_msv.LANES, b_pad,
+        ))
+        cap2 = int(np.clip(
+            _round_up(int(b_pad * self.msv_p * 2) + 64, pallas_msv.LANES),
+            pallas_msv.LANES, cap1,
+        ))
+        out = _fused_cascade(
+            *arrays[:-1],
+            staged.tokens_i8_t, staged.lengths, staged.tr_rows,
+            staged.tr_probs, arrays[-1],
+            l_chunk=sc.l_chunk, interpret=sc.interpret,
+            cap1=cap1, cap2=cap2, filter_window=window, e_skip_d=eskip,
+        )
+        filt, n1, exact1, n2, vfilt, n3, vit, fwd = (
+            np.asarray(x) for x in out
+        )
+        cap3 = min(cap2, pallas_msv.LANES)
+        if int(n1) > cap1 or int(n2) > cap2 or int(n3) > cap3:
+            logger.info(
+                "fused cascade capacity overflow (n1=%d n2=%d n3=%d) — "
+                "falling back to the staged pipeline", n1, n2, n3,
+            )
+            return None
+
+        # reconstruct the device's survivor->column maps on host by
+        # replaying the SAME f32 threshold compares on the returned
+        # scores (the device ships no index vectors — compaction is
+        # matmul-only)
+        thr = np.asarray(arrays[-1])
+        lengths_np = np.asarray(staged.lengths)
+        sel1 = np.flatnonzero((filt >= thr[0]) & (lengths_np > 0))
+        assert sel1.size == int(n1)
+        alive2 = (np.arange(cap1) < sel1.size) & (exact1 >= thr[0])
+        cols2 = np.flatnonzero(alive2)
+        glob2 = sel1[cols2]
+        alive3 = (np.arange(cap2) < cols2.size) & (vfilt >= thr[1])
+        cols3 = np.flatnonzero(alive3)
+        glob3 = glob2[cols3]
+
+        # host-side EXACT (f64) decisions from the returned scores — the
+        # device pruned with one-ulp-down thresholds, a superset
+        msv_scores = filt[:b].copy()
+        in_b1 = sel1 < b
+        msv_scores[sel1[in_b1]] = exact1[: sel1.size][in_b1]
+        msv_pv = stats.msv_pvalue(msv_scores, hmm)
+        passed_msv = msv_pv <= self.msv_p
+
+        nan = np.float32(np.nan)
+        vit_scores = np.full(b, nan, dtype=np.float32)
+        vit_pv = np.full(b, np.nan)
+        fwd_scores = np.full(b, nan, dtype=np.float32)
+        fwd_pv = np.full(b, np.nan)
+
+        keep2 = (glob2 < b) & passed_msv[np.minimum(glob2, b - 1)]
+        vit_scores[glob2[keep2]] = vfilt[cols2][keep2]
+        # vit/fwd columns are stage-3 compaction slots: column k holds
+        # the lane glob3[k]
+        k3 = np.arange(cols3.size)
+        keep3 = (glob3 < b) & passed_msv[np.minimum(glob3, b - 1)]
+        vit_scores[glob3[keep3]] = vit[k3[keep3]]
+        has_vit = np.isfinite(vit_scores)
+        vit_pv[has_vit] = stats.viterbi_pvalue(vit_scores[has_vit], hmm)
+        passed_vit = np.nan_to_num(vit_pv, nan=1.0) <= self.viterbi_p
+
+        keep4 = keep3 & passed_vit[np.minimum(glob3, b - 1)]
+        fwd_scores[glob3[keep4]] = fwd[k3[keep4]]
+        has_fwd = np.isfinite(fwd_scores)
+        fwd_pv[has_fwd] = stats.forward_pvalue(fwd_scores[has_fwd], hmm)
+        passed_fwd = np.nan_to_num(fwd_pv, nan=1.0) <= self.forward_p
+
+        return SearchResult(
+            msv_scores=msv_scores,
+            msv_pvalues=msv_pv,
+            viterbi_scores=vit_scores,
+            viterbi_pvalues=vit_pv,
+            forward_scores=fwd_scores,
+            forward_pvalues=fwd_pv,
+            passed_msv=passed_msv,
+            passed_viterbi=passed_vit,
+            passed_forward=passed_fwd,
+        )
+
     def search(self, hmm, staged: StagedDatabase, tokens: np.ndarray, lengths: np.ndarray) -> SearchResult:
         """Run the cascade. ``hmm`` is a ProfileHMM; ``tokens``/``lengths``
         are the host-side arrays used to rescore survivor subsets."""
         from .models import stats
         from .models.p7 import P7Profile
+
+        if self.fused:
+            fused_result = self._search_fused(hmm, staged)
+            if fused_result is not None:
+                return fused_result
 
         viterbi_fn, forward_fn = self._p7_fns()
 

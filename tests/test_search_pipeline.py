@@ -118,3 +118,50 @@ def test_fast_cascade_identical_hits(hmm100, mixed_batch):
         assert fast.forward_scores[h] == pytest.approx(
             plain.forward_scores[h], abs=2e-3
         )
+
+
+def test_fused_cascade_identical_hits(hmm100, mixed_batch):
+    """The one-dispatch fused cascade must reproduce the plain
+    pipeline's hit set and stage decisions exactly (device pruning uses
+    conservative thresholds; final decisions are host f64)."""
+    tokens, lengths = mixed_batch
+    scanner = MSVScanner(backend="pallas", interpret=True, l_chunk=64)
+    staged = scanner.stage(tokens, lengths)
+    plain = SearchPipeline(scanner).search(hmm100, staged, tokens, lengths)
+    fused = SearchPipeline(scanner, fused=True).search(
+        hmm100, staged, tokens, lengths
+    )
+    assert fused.hits.tolist() == plain.hits.tolist() == [2]
+    np.testing.assert_array_equal(fused.passed_msv, plain.passed_msv)
+    np.testing.assert_array_equal(fused.passed_viterbi, plain.passed_viterbi)
+    np.testing.assert_array_equal(fused.passed_forward, plain.passed_forward)
+    for h in fused.hits:
+        assert fused.msv_scores[h] == pytest.approx(plain.msv_scores[h], abs=1e-4)
+        assert fused.viterbi_scores[h] == pytest.approx(
+            plain.viterbi_scores[h], abs=1e-4
+        )
+        assert fused.forward_scores[h] == pytest.approx(
+            plain.forward_scores[h], abs=2e-3
+        )
+
+
+def test_fused_cascade_overflow_falls_back(hmm100):
+    """More survivors than the device capacity: the fused path must
+    detect the overflow and fall back to the staged pipeline (never
+    silently truncate). 200 consensus copies all pass MSV; cap1 for a
+    256-lane batch is 128."""
+    cons = consensus_sequence(hmm100)
+    from hmm_fasta_viterbi_tpu.io.alphabet import encode_sequence
+
+    ct = encode_sequence(cons)
+    tokens = np.tile(ct, (200, 1)).astype(np.int32)
+    lengths = np.full(200, len(cons), dtype=np.int32)
+    scanner = MSVScanner(backend="pallas", interpret=True, l_chunk=64)
+    staged = scanner.stage(tokens, lengths)
+    plain = SearchPipeline(scanner).search(hmm100, staged, tokens, lengths)
+    fused = SearchPipeline(scanner, fused=True).search(
+        hmm100, staged, tokens, lengths
+    )
+    assert plain.hits.size == 200
+    np.testing.assert_array_equal(fused.passed_forward, plain.passed_forward)
+    np.testing.assert_array_equal(fused.passed_msv, plain.passed_msv)
