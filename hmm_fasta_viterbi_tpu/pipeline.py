@@ -602,14 +602,6 @@ def gumbel_score_threshold(p: float, mu: float, lam: float) -> float:
     return bits * math.log(2.0)
 
 
-def exp_tail_score_threshold(p: float, tau: float, lam: float) -> float:
-    """Smallest nat score with exponential-tail P-value <= p."""
-    import math
-
-    bits = tau - math.log(p) / lam
-    return bits * math.log(2.0)
-
-
 def _conservative_f32(x: float) -> np.float32:
     """One-ulp-down f32 threshold: device pruning with it passes a
     SUPERSET of what the host's exact f64 decision passes (extras get
@@ -693,7 +685,13 @@ def _fused_cascade(
 
     Pruning uses one-ulp-down f32 score thresholds (superset of the
     host's f64 decisions); the host recomputes final P-values from the
-    returned scores, so hit sets match the unfused pipeline exactly.
+    returned scores, so MSV/Viterbi decisions match the unfused
+    pipeline exactly (max-plus scores are padding-invariant). Caveat:
+    Forward runs here at the full database L_pad while the staged
+    pipeline restages survivors at their subset's max length, so
+    Forward scores agree only within the prob-space kernel's rounding
+    (~5e-4 nats) — a hit whose forward P-value sits within that of the
+    threshold can flip between the two paths.
     NO index vectors cross stages: compaction is cumsum + one-hot
     matmuls (sort/gather-free — see _compact_matrix), and the host
     reconstructs the survivor index maps from the returned scores with
@@ -888,7 +886,10 @@ class SearchPipeline:
         from .ops import pallas_p7
 
         sc = self.scanner
-        key = (id(hmm), "fused")
+        # thresholds bake the pipeline's p-value cutoffs into the cached
+        # device array — key them, or a second pipeline sharing this
+        # scanner would prune with the first one's cutoffs
+        key = (id(hmm), "fused", self.msv_p, self.viterbi_p)
         entry = sc._cache_get(key, hmm)
         if entry is not None:
             return entry
@@ -935,7 +936,7 @@ class SearchPipeline:
                 )
             ),
             vf_pack[5],  # filter_window
-            vf_pack[6] and pallas_p7.e_skip_d_ok(p7),  # e_skip_d
+            vf_pack[6],  # e_skip_d (== e_skip_d_ok(p7))
         )
         return sc._cache_put(key, hmm, entry)
 
@@ -1004,8 +1005,11 @@ class SearchPipeline:
         fwd_scores = np.full(b, nan, dtype=np.float32)
         fwd_pv = np.full(b, np.nan)
 
+        # vfilt is indexed by stage-2 SLOT RANK (column k of the second
+        # compaction holds lane glob2[k]) — NOT by the stage-1 slot
+        # index cols2[k]
         keep2 = (glob2 < b) & passed_msv[np.minimum(glob2, b - 1)]
-        vit_scores[glob2[keep2]] = vfilt[cols2][keep2]
+        vit_scores[glob2[keep2]] = vfilt[: cols2.size][keep2]
         # vit/fwd columns are stage-3 compaction slots: column k holds
         # the lane glob3[k]
         k3 = np.arange(cols3.size)

@@ -165,3 +165,90 @@ def test_fused_cascade_overflow_falls_back(hmm100):
     assert plain.hits.size == 200
     np.testing.assert_array_equal(fused.passed_forward, plain.passed_forward)
     np.testing.assert_array_equal(fused.passed_msv, plain.passed_msv)
+
+
+def test_fused_cascade_non_identity_compaction(hmm100):
+    """Stage-2 compaction holes: lane A passes the device MSV-filter
+    threshold but fails the exact rescore (slot ranks shift), and lane
+    B passes MSV but FAILS the Viterbi filter — B's recorded
+    viterbi-filter score is exactly what the vfilt[cols2] mis-indexing
+    bug corrupted (the exact-vit overlay masks the bug for lanes that
+    pass). Junk lanes saturate the Gumbel at pv=1.0, so both special
+    lanes are weakened consensus variants in the discriminating range."""
+    from hmm_fasta_viterbi_tpu.models import stats
+    from hmm_fasta_viterbi_tpu.models.msv import MSVProfile as _MSV
+    from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+    from hmm_fasta_viterbi_tpu.io.alphabet import encode_sequence
+
+    cons = consensus_sequence(hmm100)
+    ct = encode_sequence(cons)
+    weak = ct.copy()
+    weak[::5] = (weak[::5] + 7) % 20   # hole lane: every 5th mutated
+    medium = ct.copy()
+    medium[::11] = (medium[::11] + 7) % 20  # MSV-pass, Viterbi-fail lane
+    rng = np.random.default_rng(3)
+    seq_len = len(cons)
+    tokens = rng.integers(0, 20, size=(5, seq_len)).astype(np.int32)
+    tokens[1] = weak
+    tokens[2] = medium
+    tokens[3] = ct
+    lengths = np.full(5, seq_len, dtype=np.int32)
+
+    scanner = MSVScanner(backend="pallas", interpret=True, l_chunk=64)
+    staged = scanner.stage(tokens, lengths)
+    prof = _MSV.from_profile(hmm100)
+    filt = np.asarray(scanner.scan_filter(prof, staged))
+    exact = np.asarray(scanner.scan(prof, staged))
+    assert filt[1] > exact[1] and exact[2] > filt[1] and exact[3] > filt[1]
+    thr = (float(exact[1]) + float(filt[1])) / 2
+    p_mid = float(stats.msv_pvalue(np.array([thr]), hmm100)[0])
+    # viterbi threshold between medium's and consensus's filter scores
+    p7 = P7Profile.from_profile(hmm100)
+    vf = np.asarray(scanner.scan_p7_filter(p7, staged))
+    vit_ex = np.asarray(scanner.scan_p7(p7, staged, stage="viterbi"))
+    assert vf[3] > vf[2]
+    vthr = (float(max(vf[2], vit_ex[2])) + float(min(vf[3], vit_ex[3]))) / 2
+    p_vit = float(stats.viterbi_pvalue(np.array([vthr]), hmm100)[0])
+    assert 0.0 < p_mid < 1.0 and 0.0 < p_vit < 1.0
+
+    kw = dict(msv_p=p_mid, viterbi_p=p_vit)
+    plain = SearchPipeline(scanner, **kw).search(hmm100, staged, tokens, lengths)
+    fused = SearchPipeline(scanner, fused=True, **kw).search(
+        hmm100, staged, tokens, lengths
+    )
+    assert not plain.passed_msv[1]      # the stage-2 hole exists
+    assert plain.passed_msv[2] and not plain.passed_viterbi[2]
+    assert plain.passed_msv[3] and plain.passed_viterbi[3]
+    np.testing.assert_array_equal(fused.passed_msv, plain.passed_msv)
+    np.testing.assert_array_equal(fused.passed_viterbi, plain.passed_viterbi)
+    np.testing.assert_array_equal(fused.passed_forward, plain.passed_forward)
+    # lane 2 is Viterbi-rejected: fused records its OWN viterbi-FILTER
+    # score (like the fast path; plain records the exact score — the
+    # documented margin-lane semantic difference). The vfilt[cols2] bug
+    # gave lane 2 a DIFFERENT lane's score here.
+    assert fused.viterbi_scores[2] == pytest.approx(float(vf[2]), abs=1e-4)
+    for h in np.flatnonzero(plain.passed_viterbi):
+        assert fused.viterbi_scores[h] == pytest.approx(
+            plain.viterbi_scores[h], abs=1e-4
+        )
+
+
+def test_fused_overflow_really_overflowed(hmm100, caplog):
+    """Companion assert for the fallback test: the overflow branch must
+    actually engage (guards against cap resizing silently making the
+    test vacuous)."""
+    import logging
+
+    cons = consensus_sequence(hmm100)
+    from hmm_fasta_viterbi_tpu.io.alphabet import encode_sequence
+
+    ct = encode_sequence(cons)
+    tokens = np.tile(ct, (200, 1)).astype(np.int32)
+    lengths = np.full(200, len(cons), dtype=np.int32)
+    scanner = MSVScanner(backend="pallas", interpret=True, l_chunk=64)
+    staged = scanner.stage(tokens, lengths)
+    with caplog.at_level(logging.INFO, logger="hmm_fasta_viterbi_tpu.pipeline"):
+        SearchPipeline(scanner, fused=True).search(
+            hmm100, staged, tokens, lengths
+        )
+    assert "capacity overflow" in caplog.text
