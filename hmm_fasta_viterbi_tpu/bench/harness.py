@@ -41,9 +41,16 @@ class BenchResult:
     seq_len: int
     model_length: int
     repetitions: int
+    # per-repetition wall seconds (best-of is `seconds`): recorded so
+    # cross-round regressions are attributable to variance vs real change
+    # (round-2 verdict: best-of-N-only artifacts made a 10% swing
+    # undecidable)
+    rep_seconds: list = dataclasses.field(default_factory=list)
 
     def to_json(self) -> dict:
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        d["rep_seconds"] = [round(s, 6) for s in self.rep_seconds]
+        return d
 
 
 def random_tokens(batch: int, seq_len: int, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
@@ -69,14 +76,17 @@ def _sync(out) -> np.ndarray:
 def time_scan(
     scan_fn: Callable[[], "object"],
     repetitions: int = 3,
-) -> float:
-    """Best-of-N wall time of a device scan (syncs on the result)."""
-    best = float("inf")
+) -> list[float]:
+    """Per-repetition wall times of a device scan (syncs on the result).
+
+    Callers take ``min()`` for the best-of-N protocol and keep the full
+    list in the JSON artifact so variance stays visible."""
+    reps = []
     for _ in range(repetitions):
         t0 = time.perf_counter()
         _sync(scan_fn())
-        best = min(best, time.perf_counter() - t0)
-    return best
+        reps.append(time.perf_counter() - t0)
+    return reps
 
 
 def bench_staged(
@@ -93,7 +103,8 @@ def bench_staged(
         return scanner.scan(profile, staged)
 
     _sync(run())  # warmup / compile
-    seconds = time_scan(run, repetitions)
+    reps = time_scan(run, repetitions)
+    seconds = min(reps)
     lengths = np.asarray(staged.lengths)[: staged.num_sequences]
     cells = int(lengths.astype(np.int64).sum()) * (profile.model_length - 1)
     return BenchResult(
@@ -105,6 +116,7 @@ def bench_staged(
         seq_len=int(lengths.max()) if len(lengths) else 0,
         model_length=profile.model_length,
         repetitions=repetitions,
+        rep_seconds=reps,
     )
 
 
@@ -122,7 +134,8 @@ def bench_profile(
         return scan(profile, tokens, lengths)
 
     _sync(run())  # warmup / compile
-    seconds = time_scan(run, repetitions)
+    reps = time_scan(run, repetitions)
+    seconds = min(reps)
     cells = int(lengths.astype(np.int64).sum()) * (profile.model_length - 1)
     return BenchResult(
         name=name,
@@ -133,6 +146,7 @@ def bench_profile(
         seq_len=seq_len,
         model_length=profile.model_length,
         repetitions=repetitions,
+        rep_seconds=reps,
     )
 
 

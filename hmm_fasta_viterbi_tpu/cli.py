@@ -176,6 +176,22 @@ def _sp_mesh(args):
     return make_scan_mesh(**kwargs)
 
 
+def _make_pipeline(args, scanner, fast: bool = False, fused: bool = False):
+    """SearchPipeline honoring --config cascade thresholds (msv_p /
+    viterbi_p / forward_p) when a config file is given."""
+    from .pipeline import SearchPipeline
+
+    kw = dict(fast_msv=fast, fast_viterbi=fast, fused=fused)
+    if getattr(args, "config", None):
+        from .runtime.config import EngineConfig
+
+        cfg = EngineConfig.from_json(args.config)
+        kw.update(
+            msv_p=cfg.msv_p, viterbi_p=cfg.viterbi_p, forward_p=cfg.forward_p
+        )
+    return SearchPipeline(scanner, **kw)
+
+
 def _make_scanner(args) -> MSVScanner:
     mesh = None
     if getattr(args, "mesh", None):
@@ -229,11 +245,28 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
                 P7Profile.from_profile(hmm), tokens, lengths, sp_mesh,
                 stage=args.stage, interpret=scanner.interpret,
             )
-        else:
-            raise ValueError(
-                "--mesh with sp>1 supports --stage msv/viterbi/forward; "
-                "the search cascade shards over db only (use --mesh db=N)"
+        else:  # search: the full cascade with every stage wavefronted
+            from .parallel.seqblocks import SeqblockScanner
+
+            sb = SeqblockScanner(sp_mesh, interpret=scanner.interpret)
+            pipeline = _make_pipeline(args, sb)
+            staged = sb.stage(tokens, lengths)
+            result = pipeline.search(hmm, staged, tokens, lengths)
+            dt = time.perf_counter() - t0
+            logger.info(
+                "search %s (sp wavefront): %d seqs -> %d past MSV -> "
+                "%d past Viterbi -> %d hits (%.3fs)",
+                hmm.name, len(db), int(result.passed_msv.sum()),
+                int(result.passed_viterbi.sum()),
+                int(result.passed_forward.sum()), dt,
             )
+            with _out_sink(args) as sink:
+                _report_search(
+                    hmm, db, result, args, out=sink, tokens=tokens,
+                    lengths=lengths, backend=scanner.backend,
+                    interpret=scanner.interpret,
+                )
+            return 0
         dt = time.perf_counter() - t0
         cells = int(lengths.astype(np.int64).sum()) * (hmm.model_length - 1)
         logger.info(
@@ -264,12 +297,9 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
         fn = vit_fn if args.stage == "viterbi" else fwd_fn
         scores = np.asarray(fn(p7, tokens, lengths))
     else:  # search: full MSV -> Viterbi -> Forward cascade
-        from .pipeline import SearchPipeline
-
         staged = scanner.stage(tokens, lengths)
-        fast = getattr(args, "fast", False)
-        pipeline = SearchPipeline(
-            scanner, fast_msv=fast, fast_viterbi=fast,
+        pipeline = _make_pipeline(
+            args, scanner, fast=getattr(args, "fast", False),
             fused=getattr(args, "fused", False),
         )
         result = pipeline.search(hmm, staged, tokens, lengths)
@@ -302,18 +332,27 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
     return 0
 
 
-def _envelope_from_coverage(cov_row: np.ndarray, length: int):
-    """(env_from, env_to, ndom) from a summed match-posterior coverage
-    row: the 1-based envelope spans positions with coverage >= 0.5
-    (HMMER-envelope-style: the position is in the model core with
-    posterior majority) and ndom counts contiguous covered segments (the
-    multihit domains of the nu = 2 model)."""
+def _coverage_segments(cov_row: np.ndarray, length: int) -> list:
+    """1-based (from, to) spans of contiguous positions with summed
+    match-posterior coverage >= 0.5 (HMMER-envelope-style: the position
+    sits in the model core with posterior majority). Each segment is one
+    domain of the multihit (nu = 2) model."""
     covered = cov_row[:length] >= 0.5
     idx = np.flatnonzero(covered)
     if not idx.size:
+        return []
+    breaks = np.flatnonzero(np.diff(idx) > 1)
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks, [idx.size - 1]))
+    return [(int(idx[s]) + 1, int(idx[e]) + 1) for s, e in zip(starts, ends)]
+
+
+def _envelope_from_coverage(cov_row: np.ndarray, length: int):
+    """(env_from, env_to, ndom) summary of :func:`_coverage_segments`."""
+    segs = _coverage_segments(cov_row, length)
+    if not segs:
         return None
-    ndom = int((np.diff(idx) > 1).sum()) + 1
-    return int(idx[0]) + 1, int(idx[-1]) + 1, ndom
+    return segs[0][0], segs[-1][1], len(segs)
 
 
 def _hit_envelopes(
@@ -342,8 +381,38 @@ def _hit_envelopes(
             p7, tokens[hit_idx, :l_max], lengths[hit_idx]
         )
     return {
-        int(i): _envelope_from_coverage(cov[k], int(lengths[i]))
+        int(i): _coverage_segments(cov[k], int(lengths[i]))
         for k, i in enumerate(hit_idx)
+    }
+
+
+def _domain_scores(
+    p7, tokens, lengths, segments: dict, backend: str = "xla",
+    interpret: bool = False,
+) -> dict:
+    """Per-domain Forward scores: each envelope span rescored as its own
+    subsequence in ONE batched forward call (HMMER's envelope-rescoring
+    shape; domains are few so the batch is small). Returns
+    {(hit_index, domain_rank): score_nats}."""
+    from .pipeline import select_p7_fns
+
+    spans = [
+        (i, k, f, t)
+        for i, segs in segments.items()
+        for k, (f, t) in enumerate(segs)
+    ]
+    if not spans:
+        return {}
+    max_len = max(t - f + 1 for _, _, f, t in spans)
+    sub = np.zeros((len(spans), max_len), dtype=np.int32)
+    sub_len = np.zeros(len(spans), dtype=np.int32)
+    for r, (i, _, f, t) in enumerate(spans):
+        sub[r, : t - f + 1] = tokens[i, f - 1 : t]
+        sub_len[r] = t - f + 1
+    _, forward_fn = select_p7_fns(backend, interpret)
+    scores = np.asarray(forward_fn(p7, sub, sub_len))
+    return {
+        (i, k): float(scores[r]) for r, (i, k, _, _) in enumerate(spans)
     }
 
 
@@ -367,6 +436,14 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
         if want_domains
         else {}
     )
+    dom_scores = (
+        _domain_scores(
+            p7, tokens, lengths, envelopes,
+            backend=backend, interpret=interpret,
+        )
+        if want_domains
+        else {}
+    )
     rows = []
     for i in order:
         row = {
@@ -379,8 +456,21 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
             "hit": bool(result.passed_forward[i]),
         }
         if want_domains and result.passed_forward[i]:
-            env = envelopes.get(int(i))
-            row["env_from"], row["env_to"], row["ndom"] = env if env else (0, 0, 0)
+            segs = envelopes.get(int(i)) or []
+            if segs:
+                row["env_from"], row["env_to"], row["ndom"] = (
+                    segs[0][0], segs[-1][1], len(segs)
+                )
+            else:
+                row["env_from"], row["env_to"], row["ndom"] = 0, 0, 0
+            row["domains"] = [
+                {
+                    "env_from": f,
+                    "env_to": t,
+                    "score_nats": round(dom_scores.get((int(i), k), 0.0), 4),
+                }
+                for k, (f, t) in enumerate(segs)
+            ]
         rows.append(row)
     if args.format == "json":
         if rows_sink is not None:
@@ -391,7 +481,7 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
     else:
         cols = "# target\tprofile\tmsv_bits\tmsv_p\tviterbi_p\tforward_p\thit"
         if want_domains:
-            cols += "\tenv_from\tenv_to\tndom"
+            cols += "\tenv_from\tenv_to\tndom\tdom_scores"
         out.write(cols + "\n")
         for r in rows:
             line = (
@@ -399,9 +489,13 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
                 f"{r['viterbi_p']:.3e}\t{r['forward_p']:.3e}\t{int(r['hit'])}"
             )
             if want_domains:
+                doms = ";".join(
+                    f"{d['env_from']}-{d['env_to']}:{d['score_nats']}"
+                    for d in r.get("domains", [])
+                )
                 line += (
                     f"\t{r.get('env_from', '')}\t{r.get('env_to', '')}"
-                    f"\t{r.get('ndom', '')}"
+                    f"\t{r.get('ndom', '')}\t{doms}"
                 )
             out.write(line + "\n")
 
@@ -413,11 +507,19 @@ def cmd_sweep(args) -> int:
     if not paths:
         logger.error("no .hmm files in %s", args.hmm_dir)
         return 1
-    if _sp_mesh(args) is not None:
-        logger.error("sweep does not support --mesh sp>1; use --mesh db=N")
-        return 2
     db = load_fasta(args.fasta, prefer=args.loader)
-    scanner = _make_scanner(args)
+    sp_mesh = _sp_mesh(args)
+    if sp_mesh is not None:
+        if getattr(args, "bucketed", False):
+            logger.error("--bucketed does not compose with --mesh sp>1")
+            return 2
+        from .parallel.seqblocks import SeqblockScanner
+
+        base = _make_scanner(args)
+        scanner = SeqblockScanner(sp_mesh, interpret=base.interpret)
+        logger.info("sweep over sp wavefront mesh: %s", dict(sp_mesh.shape))
+    else:
+        scanner = _make_scanner(args)
     tokens, lengths = db.encode()
     # NOTE: no up-front staging here — the checkpoint path restages per
     # shard (the whole point of bounding resident/upload cost) and the
@@ -425,13 +527,31 @@ def cmd_sweep(args) -> int:
     if getattr(args, "stage", "msv") == "search":
         # hmmscan-shaped sweep: the full cascade per profile against the
         # one staged database (optionally with the bf16 MSV prefilter)
-        from .pipeline import SearchPipeline
+        pipeline = _make_pipeline(args, scanner, fast=getattr(args, "fast", False))
+        hmms = [load_profile(p, prefer=args.loader) for p in paths]
+        if getattr(args, "checkpoint", None):
+            # resumable cascade sweep: per-(profile, shard) SearchResults
+            # publish atomically; kill + rerun skips completed chunks
+            from .runtime.checkpoint import (
+                ScanCheckpoint,
+                resumable_search_sweep,
+            )
+
+            results = resumable_search_sweep(
+                pipeline, hmms, tokens, lengths,
+                ScanCheckpoint(args.checkpoint),
+                shard_size=args.checkpoint_shard,
+            )
+            with _out_sink(args) as sink, _json_accumulator(args, sink) as acc:
+                for hmm in hmms:
+                    _report_search(
+                        hmm, db, results[hmm.name], args, out=sink,
+                        rows_sink=acc,
+                    )
+            return 0
         staged = scanner.stage(tokens, lengths)
-        fast = getattr(args, "fast", False)
-        pipeline = SearchPipeline(scanner, fast_msv=fast, fast_viterbi=fast)
         with _out_sink(args) as sink, _json_accumulator(args, sink) as acc:
-            for path in paths:
-                hmm = load_profile(path, prefer=args.loader)
+            for hmm in hmms:
                 result = pipeline.search(hmm, staged, tokens, lengths)
                 logger.info(
                     "search %s: %d past MSV -> %d past Viterbi -> %d hits",
@@ -560,8 +680,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sweep.add_argument(
         "--checkpoint", default=None, metavar="DIR",
-        help="msv stage: resumable sweep — per-(profile, shard) results "
-        "persist atomically under DIR; rerun skips completed chunks",
+        help="resumable sweep (msv or search stage) — per-(profile, "
+        "shard) results persist atomically under DIR; rerun skips "
+        "completed chunks",
     )
     sweep.add_argument(
         "--checkpoint-shard", type=int, default=4096, metavar="N",

@@ -541,3 +541,76 @@ def p7_scan_seqblocks_pallas(
         jnp.asarray(tr_probs),
     )
     return np.asarray(out)[:b]
+
+
+# ---- end-to-end sp search (round 3) -----------------------------------
+
+import dataclasses as _dataclasses
+
+
+@_dataclasses.dataclass
+class _HostStaged:
+    """Host-side stand-in for StagedDatabase: the wavefront scanners pad
+    and shard per call (each stage re-pads to its survivor subset's max
+    length), so 'staging' just pins the encoded arrays."""
+
+    tokens: np.ndarray
+    lengths: np.ndarray
+    num_sequences: int
+
+
+class SeqblockScanner:
+    """MSVScanner-compatible adapter that routes EVERY stage through the
+    sp-axis wavefront pipelines — the end-to-end long-sequence engine
+    (``--mesh db=N,sp=M`` with sp > 1). Drop-in for
+    pipeline.SearchPipeline: MSV -> Viterbi -> Forward all scan residue
+    blocks across the sp axis with ppermute boundary-carry hops; the
+    survivor orchestration (thresholds, restaging subsets) is unchanged.
+
+    The bf16 prefilter kernels have no wavefront variant, so
+    ``scan_filter``/``scan_p7_filter`` run the exact wavefronts — a
+    trivially sound upper bound (score >= itself); prefer fast=False
+    with this scanner (the prefilter pass would just duplicate work).
+    """
+
+    backend = "pallas"
+    mesh = None  # no db-mesh scanner branches; sharding lives in sp_mesh
+
+    def __init__(self, sp_mesh: Mesh, l_chunk: int = 256, interpret: bool | None = None):
+        self.sp_mesh = sp_mesh
+        self.l_chunk = l_chunk
+        self.interpret = (
+            jax.default_backend() == "cpu" if interpret is None else interpret
+        )
+
+    def stage(self, tokens: np.ndarray, lengths: np.ndarray) -> _HostStaged:
+        tokens = np.asarray(tokens)
+        return _HostStaged(
+            tokens, np.asarray(lengths, np.int32), tokens.shape[0]
+        )
+
+    def stage_fasta(self, db) -> _HostStaged:
+        return self.stage(*db.encode())
+
+    def scan(self, profile: MSVProfile, staged: _HostStaged):
+        return msv_scan_seqblocks_pallas(
+            profile, staged.tokens, staged.lengths, self.sp_mesh,
+            l_chunk=self.l_chunk, interpret=self.interpret,
+        )
+
+    def scan_filter(self, profile: MSVProfile, staged: _HostStaged):
+        return self.scan(profile, staged)
+
+    def scan_p7(self, p7, staged: _HostStaged, stage: str = "viterbi"):
+        return p7_scan_seqblocks_pallas(
+            p7, staged.tokens, staged.lengths, self.sp_mesh, stage=stage,
+            l_chunk=self.l_chunk, interpret=self.interpret,
+        )
+
+    def scan_p7_filter(self, p7, staged: _HostStaged, window_log2=None):
+        return self.scan_p7(p7, staged, stage="viterbi")
+
+    def scan_many(self, profiles, staged: _HostStaged, mode: str = "exact"):
+        return {
+            p.name: np.asarray(self.scan(p, staged)) for p in profiles
+        }

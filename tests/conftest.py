@@ -40,3 +40,19 @@ def fasta_dir() -> pathlib.Path:
 @pytest.fixture(scope="session")
 def all_profile_paths() -> list[pathlib.Path]:
     return sorted(PROFILE_DIR.glob("*.hmm"), key=lambda p: int(p.stem))
+
+
+def consensus_tokens(hmm, repeats: int = 1, spacer: int = 0, seed: int = 0):
+    """Token sequence matching the profile's consensus (argmax match
+    emission per node) — a guaranteed strong hit; ``repeats`` > 1 with a
+    random spacer builds multi-domain test sequences."""
+    import numpy as np
+
+    core = np.argmax(hmm.match_emissions[1:], axis=1).astype(np.int32)
+    rng = np.random.default_rng(seed)
+    parts = []
+    for r in range(repeats):
+        if r:
+            parts.append(rng.integers(0, 20, size=spacer, dtype=np.int32))
+        parts.append(core)
+    return np.concatenate(parts) if parts else core

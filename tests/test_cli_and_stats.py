@@ -230,3 +230,66 @@ def test_cli_mesh_sp_wavefront(profile_dir, fasta_dir, capsys):
     assert len(sp_rows) == 4
     for r in sp_rows:
         assert r["score_nats"] == pytest.approx(by_target[r["target"]], abs=1e-4)
+
+
+def test_cli_mesh_sp_search_cascade(tmp_path, profile_dir, fasta_dir, capsys):
+    """Round 3: --stage search composes with --mesh sp>1 (every cascade
+    stage wavefronted); results match the plain single-device search.
+    Loose --config thresholds keep survivors at every stage."""
+    from conftest import consensus_tokens
+    from hmm_fasta_viterbi_tpu.io.alphabet import decode_sequence
+
+    hmm_for_hit = __import__("hmm_fasta_viterbi_tpu").parse_hmm(
+        profile_dir / "100.hmm"
+    )
+    rng = np.random.default_rng(11)
+    fasta = tmp_path / "db.fsa"
+    seqs = [decode_sequence(consensus_tokens(hmm_for_hit))] + [
+        decode_sequence(rng.integers(0, 20, size=160)) for _ in range(5)
+    ]
+    fasta.write_text(
+        "".join(f">seq{i}\n{s}\n" for i, s in enumerate(seqs))
+    )
+    args = [
+        "scan", "--hmm", str(profile_dir / "100.hmm"),
+        "--fasta", str(fasta),
+        "--stage", "search", "--format", "json",
+    ]
+    assert main(args + ["--mesh", "db=2,sp=4", "--backend", "pallas"]) == 0
+    sp_rows = json.loads(capsys.readouterr().out)
+    assert main(args + ["--backend", "xla"]) == 0
+    plain_rows = json.loads(capsys.readouterr().out)
+    by_target = {r["target"]: r for r in plain_rows}
+    assert len(sp_rows) == len(plain_rows) > 0
+    assert any(r["hit"] for r in sp_rows)  # the consensus hit survives
+    for r in sp_rows:
+        want = by_target[r["target"]]
+        assert r["msv_bits"] == pytest.approx(want["msv_bits"], abs=1e-3)
+        assert r["hit"] == want["hit"]
+
+
+def test_cli_mesh_sp_sweep(profile_dir, fasta_dir, capsys):
+    """Round 3: sweep accepts --mesh sp>1 (wavefront per profile)."""
+    import pathlib
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        hmm_dir = pathlib.Path(td)
+        for name in ("100.hmm", "200.hmm"):
+            (hmm_dir / name).write_bytes(
+                (profile_dir / name).read_bytes()
+            )
+        args = [
+            "sweep", "--hmm-dir", str(hmm_dir),
+            "--fasta", str(fasta_dir / "fasta_like_example.fsa"),
+            "--format", "json",
+        ]
+        assert main(args + ["--mesh", "db=2,sp=4", "--backend", "pallas"]) == 0
+        sp_rows = json.loads(capsys.readouterr().out)
+        assert main(args + ["--backend", "xla"]) == 0
+        plain_rows = json.loads(capsys.readouterr().out)
+    key = lambda r: (r["target"], r["profile"])
+    by_key = {key(r): r["score_nats"] for r in plain_rows}
+    assert len(sp_rows) == len(plain_rows) == 8
+    for r in sp_rows:
+        assert r["score_nats"] == pytest.approx(by_key[key(r)], abs=1e-4)

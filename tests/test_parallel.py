@@ -351,3 +351,53 @@ def test_p7_seqblock_pure_sp(profile_dir):
     )
     want = viterbi_oracle_batch(p7, tokens, lengths)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
+
+
+def test_sp_search_cascade_matches_single_device(profile_dir):
+    """End-to-end long-sequence search (round 3): the full cascade with
+    every stage wavefronted over sp must produce the same scores and hit
+    sets as the single-device pipeline."""
+    from hmm_fasta_viterbi_tpu.parallel.seqblocks import SeqblockScanner
+    from hmm_fasta_viterbi_tpu.pipeline import MSVScanner, SearchPipeline
+
+    from conftest import consensus_tokens
+
+    hmm = parse_hmm(profile_dir / "100.hmm")
+    rng = np.random.default_rng(37)
+    # a consensus-match hit among random sequences: the cascade prunes
+    # the randoms at MSV while the hit survives every stage
+    hit = consensus_tokens(hmm)
+    L = 192
+    lengths = np.array([len(hit), 50, 173, 192, 1, 128], dtype=np.int32)
+    tokens = rng.integers(0, 20, size=(len(lengths), L)).astype(np.int32)
+    tokens[0, : len(hit)] = hit
+
+    mesh = make_scan_mesh(db=2, sp=4)
+    sb = SeqblockScanner(mesh, l_chunk=32, interpret=True)
+    kw = dict(msv_p=0.02, viterbi_p=1e-3, forward_p=1e-5)
+    sp_pipe = SearchPipeline(sb, **kw)
+    got = sp_pipe.search(hmm, sb.stage(tokens, lengths), tokens, lengths)
+
+    one = MSVScanner(backend="pallas", interpret=True, l_chunk=64)
+    ref_pipe = SearchPipeline(one, **kw)
+    want = ref_pipe.search(
+        hmm, one.stage(tokens, lengths), tokens, lengths
+    )
+
+    np.testing.assert_allclose(
+        got.msv_scores, want.msv_scores, atol=1e-4, rtol=0
+    )
+    # the constructed hit must actually survive the whole cascade (the
+    # test would otherwise vacuously pass on empty survivor sets)
+    assert want.passed_forward[0] and got.passed_forward[0]
+    np.testing.assert_array_equal(got.passed_msv, want.passed_msv)
+    np.testing.assert_array_equal(got.passed_viterbi, want.passed_viterbi)
+    np.testing.assert_array_equal(got.passed_forward, want.passed_forward)
+    m = np.isfinite(want.viterbi_scores)
+    np.testing.assert_allclose(
+        got.viterbi_scores[m], want.viterbi_scores[m], atol=1e-4, rtol=0
+    )
+    m = np.isfinite(want.forward_scores)
+    np.testing.assert_allclose(
+        got.forward_scores[m], want.forward_scores[m], atol=2e-3, rtol=0
+    )

@@ -63,6 +63,97 @@ def test_resumable_sweep(tmp_path, profile_dir):
         np.testing.assert_array_equal(res1[p.name], res2[p.name])
 
 
+def test_resumable_sweep_stages_each_shard_once(tmp_path, profile_dir):
+    """Round-3 staging economics: N profiles x S shards must stage S
+    times (shard-outer, stacked scan_many), not N x S (the round-2
+    quadratic re-upload)."""
+    rng = np.random.default_rng(6)
+    tokens = rng.integers(0, 20, size=(9, 48)).astype(np.int32)
+    lengths = np.full(9, 48, dtype=np.int32)
+    profiles = [
+        MSVProfile.from_profile(parse_hmm(profile_dir / s))
+        for s in ("100.hmm", "200.hmm", "300.hmm")
+    ]
+
+    class CountingScanner(MSVScanner):
+        stage_calls = 0
+
+        def stage(self, *a, **k):
+            CountingScanner.stage_calls += 1
+            return super().stage(*a, **k)
+
+    scanner = CountingScanner(backend="xla")
+    ckpt = ScanCheckpoint(tmp_path / "ckpt")
+    res = resumable_sweep(scanner, profiles, tokens, lengths, ckpt, shard_size=4)
+    assert CountingScanner.stage_calls == 3  # ceil(9/4) shards, once each
+    for p in profiles:
+        want = msv_oracle_batch(p, tokens, lengths)
+        np.testing.assert_allclose(res[p.name], want, atol=1e-4, rtol=0)
+
+    # partial resume: drop ONE (profile, shard) chunk; the rerun must
+    # restage only that shard and rescan only that profile
+    ckpt._chunk_path(profiles[1].name, 1).unlink()
+    CountingScanner.stage_calls = 0
+    scanned = []
+    orig = CountingScanner.scan_many
+
+    def tracking_scan_many(self, ps, staged, **k):
+        scanned.extend(p.name for p in ps)
+        return orig(self, ps, staged, **k)
+
+    CountingScanner.scan_many = tracking_scan_many
+    try:
+        res2 = resumable_sweep(scanner, profiles, tokens, lengths, ckpt, shard_size=4)
+    finally:
+        CountingScanner.scan_many = orig
+    assert CountingScanner.stage_calls == 1
+    assert scanned == [profiles[1].name]
+    for p in profiles:
+        np.testing.assert_array_equal(res[p.name], res2[p.name])
+
+
+def test_resumable_search_sweep(tmp_path, profile_dir):
+    from hmm_fasta_viterbi_tpu.pipeline import SearchPipeline
+    from hmm_fasta_viterbi_tpu.runtime.checkpoint import (
+        resumable_search_sweep,
+    )
+
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(0, 20, size=(6, 64)).astype(np.int32)
+    lengths = np.full(6, 64, dtype=np.int32)
+    hmms = [parse_hmm(profile_dir / s) for s in ("100.hmm", "200.hmm")]
+    pipeline = SearchPipeline(MSVScanner(backend="xla"), msv_p=0.9,
+                              viterbi_p=0.9, forward_p=0.9)
+    ckpt = ScanCheckpoint(tmp_path / "sckpt")
+    res1 = resumable_search_sweep(
+        pipeline, hmms, tokens, lengths, ckpt, shard_size=4
+    )
+    # matches the unsharded cascade
+    staged = pipeline.scanner.stage(tokens, lengths)
+    for hmm in hmms:
+        direct = pipeline.search(hmm, staged, tokens, lengths)
+        got = res1[hmm.name]
+        np.testing.assert_allclose(
+            got.msv_scores, direct.msv_scores, atol=1e-4, rtol=0
+        )
+        np.testing.assert_array_equal(got.passed_forward, direct.passed_forward)
+
+    # kill-and-rerun: a completed checkpoint must not rescan anything
+    class BoomPipeline:
+        class scanner:  # noqa: N801 - attribute shim
+            @staticmethod
+            def stage(*a, **k):
+                raise AssertionError("resume must not rescan")
+
+    res2 = resumable_search_sweep(
+        BoomPipeline(), hmms, tokens, lengths, ckpt, shard_size=4
+    )
+    for hmm in hmms:
+        np.testing.assert_array_equal(
+            res1[hmm.name].forward_scores, res2[hmm.name].forward_scores
+        )
+
+
 def test_resume_partition_mismatch(tmp_path, profile_dir):
     tokens = np.zeros((4, 8), dtype=np.int32)
     lengths = np.full(4, 8, dtype=np.int32)

@@ -252,3 +252,55 @@ def test_fused_overflow_really_overflowed(hmm100, caplog):
             hmm100, staged, tokens, lengths
         )
     assert "capacity overflow" in caplog.text
+
+
+def test_fused_forward_threshold_boundary_contract(hmm100, mixed_batch):
+    """Pin the fused-vs-staged Forward boundary semantics (round 3).
+
+    The fused cascade runs Forward at the full-database L_pad while the
+    staged path restages survivors at their subset's max length
+    (pipeline._fused_cascade docstring), so the two Forward scores agree
+    only within the prob-space kernel's rounding (~5e-4 nats; 2e-3 tol).
+    Contract pinned here with a constructed threshold-straddler
+    (forward_p set exactly AT the survivor's staged p-value):
+
+    (a) common survivors' Forward scores differ < 2e-3 nats;
+    (b) each path's hit decision is self-consistent with its OWN score
+        vs the shared threshold;
+    (c) when the threshold sits outside the divergence band (2x / 0.5x
+        the straddling p-value), both paths decide identically — only a
+        straddler may flip.
+    """
+    tokens, lengths = mixed_batch
+    scanner = MSVScanner(backend="pallas", interpret=True, l_chunk=64)
+    staged = scanner.stage(tokens, lengths)
+    kw = dict(msv_p=0.02, viterbi_p=1e-3)
+
+    base = SearchPipeline(scanner, forward_p=1.0, **kw).search(
+        hmm100, staged, tokens, lengths
+    )
+    assert base.passed_forward[2]
+    pv = float(base.forward_pvalues[2])
+    assert 0 < pv < 1
+
+    for forward_p, may_flip in ((pv, True), (pv * 2, False), (pv * 0.5, False)):
+        staged_r = SearchPipeline(scanner, forward_p=forward_p, **kw).search(
+            hmm100, staged, tokens, lengths
+        )
+        fused_r = SearchPipeline(
+            scanner, forward_p=forward_p, fused=True, **kw
+        ).search(hmm100, staged, tokens, lengths)
+        # (a) score agreement on the common survivor
+        assert fused_r.forward_scores[2] == pytest.approx(
+            staged_r.forward_scores[2], abs=2e-3
+        )
+        # (b) self-consistency of each path's decision
+        for r in (staged_r, fused_r):
+            assert bool(r.passed_forward[2]) == bool(
+                r.forward_pvalues[2] <= forward_p
+            )
+        # (c) outside the band the decisions must agree
+        if not may_flip:
+            np.testing.assert_array_equal(
+                fused_r.passed_forward, staged_r.passed_forward
+            )
