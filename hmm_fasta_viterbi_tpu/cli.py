@@ -317,7 +317,7 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
             _report_search(
                 hmm, db, result, args, out=sink, tokens=tokens,
                 lengths=lengths, backend=scanner.backend,
-                interpret=scanner.interpret,
+                interpret=scanner.interpret, mesh=scanner.mesh,
             )
         return 0
 
@@ -357,7 +357,7 @@ def _envelope_from_coverage(cov_row: np.ndarray, length: int):
 
 def _hit_envelopes(
     p7, tokens, lengths, hit_idx: np.ndarray, backend: str = "xla",
-    interpret: bool = False,
+    interpret: bool = False, mesh=None,
 ) -> dict:
     """Batched posterior decode of all hits: one device call per hit
     chunk instead of a per-hit forward+backward loop — --domains wall
@@ -372,7 +372,7 @@ def _hit_envelopes(
 
         cov, _ = posterior_coverage_batch_pallas(
             p7, tokens[hit_idx, :l_max], lengths[hit_idx],
-            interpret=interpret,
+            interpret=interpret, mesh=mesh,
         )
     else:
         from .ops.p7_scan import posterior_coverage_batch_xla
@@ -418,7 +418,7 @@ def _domain_scores(
 
 def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
                    rows_sink=None, backend: str = "xla",
-                   interpret: bool = False) -> None:
+                   interpret: bool = False, mesh=None) -> None:
     out = out if out is not None else sys.stdout
     want_domains = bool(getattr(args, "domains", False)) and tokens is not None
     p7 = None
@@ -431,7 +431,7 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
     envelopes = (
         _hit_envelopes(
             p7, tokens, lengths, result.hits,
-            backend=backend, interpret=interpret,
+            backend=backend, interpret=interpret, mesh=mesh,
         )
         if want_domains
         else {}

@@ -276,7 +276,9 @@ def _p7_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("l_chunk", "interpret", "unroll", "forward", "e_skip_d"),
+    static_argnames=(
+        "l_chunk", "interpret", "unroll", "forward", "e_skip_d", "lazy_k"
+    ),
 )
 def p7_pallas_call(
     msc_t: jax.Array,  # [M_pad, 20] f32
@@ -286,7 +288,7 @@ def p7_pallas_call(
     tokens_t: jax.Array,  # [L_pad, B_pad] int32
     lengths: jax.Array,  # [B_pad] int32
     tr_rows: jax.Array,  # [2, B_pad] f32
-    tr_consts: jax.Array,  # [1, 3] f32
+    tr_consts: jax.Array,  # [1, 3] f32 ([1, 5] when lazy_k > 0)
     m_init: jax.Array,  # [M_pad, B_pad] f32
     i_init: jax.Array,
     d_init: jax.Array,
@@ -296,15 +298,21 @@ def p7_pallas_call(
     unroll: int = STEP_UNROLL,
     forward: bool = False,
     e_skip_d: bool = False,
+    lazy_k: int = 0,
 ):
     """Raw kernel invocation over padded operands. Returns
     (scores [B_pad], m/i/d carries [M_pad, B_pad], s carry [4, B_pad]).
     Set ``e_skip_d`` only when e_skip_d_ok(p7) (Viterbi E-reduce skips
-    the provably-dominated D term)."""
+    the provably-dominated D term). ``lazy_k > 0`` selects the lazily-
+    certified truncated-chain kernel (_p7_lazy_kernel; requires Viterbi
+    + e_skip_d, tr_consts [1, 5] from prepare_p7_device_lazy; the
+    d-carry slot then transports pre_diag, not D — use one kernel mode
+    consistently across chunk/hop resumes)."""
     m_pad, twenty = msc_t.shape
     l_pad, b_pad = tokens_t.shape
     assert twenty == 20 and b_pad % LANES == 0 and l_pad % l_chunk == 0
     assert m_pad % 8 == 0
+    assert lazy_k == 0 or (not forward and e_skip_d)
     # three [M_pad, lanes] carries + ~15 per-step [M_pad, lanes]
     # temporaries (emission selects, diag, chain passes): scale the
     # unroll down for large models to bound the VMEM scoped allocation;
@@ -319,11 +327,20 @@ def p7_pallas_call(
         (m_pad, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM
     )
     s_spec = pl.BlockSpec((4, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM)
-    score, m_out, i_out, d_out, s_out = pl.pallas_call(
-        functools.partial(
+    if lazy_k > 0:
+        kern = functools.partial(
+            _p7_lazy_kernel, unroll=unroll, lazy_k=lazy_k
+        )
+        scratch_shapes = [pltpu.VMEM((m_pad, lanes), jnp.float32)]
+    else:
+        kern = functools.partial(
             _p7_kernel, unroll=unroll, forward=forward, e_skip_d=e_skip_d
-        ),
+        )
+        scratch_shapes = []
+    score, m_out, i_out, d_out, s_out = pl.pallas_call(
+        kern,
         grid=(num_b, num_l),
+        scratch_shapes=scratch_shapes,
         in_specs=[
             pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
@@ -356,7 +373,10 @@ def p7_pallas_call(
             jax.ShapeDtypeStruct((4, b_pad), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # the lazy kernel's batched group selects + fallback scratch
+            # need ~4 MB past the usual 100 MB scoped budget at M=1408 x
+            # 512 lanes x unroll 4 (v5e has 128 MiB physical VMEM)
+            vmem_limit_bytes=(112 if lazy_k > 0 else 100) * 1024 * 1024,
         ),
         interpret=interpret,
     )(
@@ -367,12 +387,13 @@ def p7_pallas_call(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("l_chunk", "interpret", "forward", "e_skip_d")
+    jax.jit,
+    static_argnames=("l_chunk", "interpret", "forward", "e_skip_d", "lazy_k"),
 )
 def _p7_pallas_padded(
     msc_t, isc_t, trans_t, chain_t, tokens_i8_t, lengths, tr_rows,
     tr_consts, l_chunk: int, interpret: bool, forward: bool,
-    e_skip_d: bool = False,
+    e_skip_d: bool = False, lazy_k: int = 0,
 ):
     """Jitted wrapper: DP init built on device; returns scores [B_pad]."""
     m_pad = msc_t.shape[0]
@@ -404,6 +425,7 @@ def _p7_pallas_padded(
         interpret=interpret,
         forward=forward,
         e_skip_d=e_skip_d,
+        lazy_k=lazy_k,
     )
     return score
 
@@ -854,6 +876,253 @@ def _p7_filter_padded(
     return score[0]
 
 
+def _p7_lazy_kernel(
+    msc_ref,  # [M_pad, 20] f32 VMEM match scores (pad rows PAD_SCORE)
+    isc_ref,  # [M_pad, 20] f32 VMEM insert scores (pad rows PAD_SCORE)
+    trans_ref,  # [M_pad, 8] f32 VMEM cols: tmm tmi tmd tim tii tdm tdd_s pad
+    chain_ref,  # [M_pad, 16] f32 VMEM: per-pass delete-chain constants
+    tokens_ref,  # [L_CHUNK, LANES] int32 VMEM
+    lengths_ref,  # [1, LANES] int32 VMEM
+    tr_row_ref,  # [2, LANES] f32 VMEM: tr_loop; tr_move
+    tr_const_ref,  # [1, 5] f32 SMEM: tr_B_Mk, tr_E_C, tr_E_J, aux, tmd_max
+    m_in_ref,  # [M_pad, LANES] f32
+    i_in_ref,  # [M_pad, LANES] f32
+    d_in_ref,  # [M_pad, LANES] f32: the PRE_DIAG carry (see below)
+    s_in_ref,  # [4, LANES] f32: J, C, N, B
+    # outputs:
+    score_ref,  # [1, LANES] f32: C + tr_move
+    m_out_ref,
+    i_out_ref,
+    d_out_ref,  # pre_diag carry out
+    s_out_ref,
+    d_scratch,  # [M_pad, LANES] f32 VMEM scratch (fallback staging)
+    *,
+    unroll: int,
+    lazy_k: int,
+):
+    """EXACT Viterbi with a lazily-certified truncated delete chain.
+
+    Round-3 rework of the (max, +) path of :func:`_p7_kernel` — same
+    scores bit-for-bit, ~half the per-step chain work:
+
+    * only ``lazy_k`` Hillis-Steele passes run per residue (covering
+      D-runs shorter than 2**lazy_k exactly);
+    * the contribution of any LONGER run is upper-bounded by
+      ``t_tail = fl(fl(e + tmd_max) + aux)`` with e = max(new_m) (the
+      E reduce, already computed) and aux = the largest remaining-pass
+      chain constant: every operand of the dropped passes is <= max(a0)
+      <= fl(e + tmd_max) and correctly-rounded addition is monotone, so
+      every value the dropped passes could produce is <= t_tail;
+    * with e_skip_d (required: E = max(new_m) exactly), D's ONLY
+      consumer is the next residue's diagonal max, so the truncation is
+      invisible unless t_tail could win that max somewhere:
+      ``viol = any((t_tail > a) & (t_tail + tdm > floor))`` with
+      floor = max(new_m + tmm, new_i + tim) — the m/i part of the next
+      step's diag — computed at PRODUCTION time;
+    * on viol (never on the benchmark corpus for the auto-picked
+      window; guaranteed-correct regardless) the remaining passes run
+      inside a ``pl.when`` against a VMEM scratch and restore the full
+      exact chain (the Hillis-Steele prefix state is resumable).
+      ``lax.cond`` is NOT used: Mosaic predicates vector-valued conds —
+      both branches execute — measured as a net LOSS at every window
+      (tools/chain_lab.py round 3); ``pl.when`` lowers to a real branch.
+
+    Emission selects for the whole unroll group are batched into single
+    [M_pad, 20] x [20, unroll*LANES] MXU passes issued before the serial
+    VPU steps — the measured filter-window cost curve shows the small
+    per-step dots do NOT hide under the VPU chain (w=11 filter vs exact
+    delta ~26 ms = the extra select passes), so batching amortizes the
+    K=20 systolic fill and gives the scheduler room to overlap.
+
+    Because floor is already in hand, the carry stores
+    ``pre_diag = max(floor, new_d + tdm)`` instead of D itself: the next
+    step's diagonal becomes one roll (its f32 values are identical to
+    the eager kernel's max(m+tmm, i+tim, d+tdm) — same operands, same
+    single-max tree). The d-carry slot transports pre_diag across
+    chunks and sp-wavefront hops; fresh state (-inf everywhere) is
+    unchanged.
+
+    This is the TPU replacement for HMMER's striped lazy-F fixup loop
+    (nhmmer/ViterbiFilter lineage): run the cheap chain, check a
+    monotone certificate, repair rarely. Reference role: the production
+    rescore stage the reference parses transitions for but never built
+    (data_readers/Profile_HMM.hpp:32-42).
+    """
+    l_idx = pl.program_id(1)
+    chunk_len, lanes = tokens_ref.shape
+    m_pad = msc_ref.shape[0]
+
+    msc_parts = _split3(msc_ref[:, :])
+    isc_parts = _split3(isc_ref[:, :])
+    tmm = trans_ref[:, 0:1]
+    tmi = trans_ref[:, 1:2]
+    tmd = trans_ref[:, 2:3]
+    tim = trans_ref[:, 3:4]
+    tii = trans_ref[:, 4:5]
+    tdm = trans_ref[:, 5:6]
+
+    tr_b_mk = tr_const_ref[0, 0]
+    tr_e_c = tr_const_ref[0, 1]
+    tr_e_j = tr_const_ref[0, 2]
+    aux = tr_const_ref[0, 3]
+    tmd_max = tr_const_ref[0, 4]
+    tr_loop = tr_row_ref[0:1, :]
+    tr_move = tr_row_ref[1:2, :]
+    lengths = lengths_ref[0:1, :]
+
+    n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+    k_run = min(max(lazy_k, 1), n_passes)
+
+    @pl.when(l_idx == 0)
+    def _():
+        m_out_ref[:, :] = m_in_ref[:, :]
+        i_out_ref[:, :] = i_in_ref[:, :]
+        d_out_ref[:, :] = d_in_ref[:, :]
+        s_out_ref[:, :] = s_in_ref[:, :]
+
+    m0 = m_out_ref[:, :]
+    i0 = i_out_ref[:, :]
+    pd0 = d_out_ref[:, :]
+    s0 = s_out_ref[:, :]
+
+    aa_iota = jax.lax.broadcasted_iota(jnp.int32, (20, lanes), 0)
+    base = l_idx * chunk_len
+
+    def one_step(t, ms, is_, m, i_st, pre_diag, j_st, c_st, n_st, b_st):
+        diag = pltpu.roll(pre_diag, shift=1, axis=0)
+        new_m = ms + jnp.maximum(diag, b_st + tr_b_mk)
+        new_i = is_ + jnp.maximum(m + tmi, i_st + tii)
+        a0 = pltpu.roll(new_m + tmd, shift=1, axis=0)
+        a = a0
+        for k in range(k_run):
+            rolled = pltpu.roll(a, shift=1 << k, axis=0)
+            a = jnp.maximum(a, rolled + chain_ref[:, k:k + 1])
+
+        e_st = jnp.max(new_m, axis=0, keepdims=True)  # e_skip_d (exact)
+        floor = jnp.maximum(new_m + tmm, new_i + tim)
+        if k_run < n_passes:
+            t_tail = (e_st + tmd_max) + aux  # [1, LANES]
+            viol_vec = (t_tail > a) & ((t_tail + tdm) > floor)
+            viol = jnp.any(viol_vec)
+            d_scratch[:, :] = a
+
+            @pl.when(viol)
+            def _():
+                af = d_scratch[:, :]
+                for k in range(k_run, n_passes):
+                    rolled = pltpu.roll(af, shift=1 << k, axis=0)
+                    af = jnp.maximum(af, rolled + chain_ref[:, k:k + 1])
+                d_scratch[:, :] = af
+
+            new_d = d_scratch[:, :]
+        else:
+            new_d = a
+        new_pd = jnp.maximum(floor, new_d + tdm)
+
+        new_j = jnp.maximum(j_st + tr_loop, e_st + tr_e_j)
+        new_c = jnp.maximum(c_st + tr_loop, e_st + tr_e_c)
+        new_n = n_st + tr_loop
+        new_b = jnp.maximum(new_n + tr_move, new_j + tr_move)
+
+        valid = (base + t) < lengths
+        return (
+            new_m,
+            new_i,
+            new_pd,
+            jnp.where(valid, new_j, j_st),
+            jnp.where(valid, new_c, c_st),
+            jnp.where(valid, new_n, n_st),
+            jnp.where(valid, new_b, b_st),
+        )
+
+    def step(u, carry):
+        # batched emission select for the whole group: one MXU pass per
+        # split term instead of ``unroll`` small ones (see docstring).
+        # Per-step one-hot compares concatenate along lanes (a multi-row
+        # dynamic token load would need 8-sublane alignment Mosaic can't
+        # prove for unroll < 8)
+        onehot_g = jnp.concatenate(
+            [
+                (aa_iota == tokens_ref[pl.ds(u * unroll + k, 1), :]).astype(
+                    jnp.bfloat16
+                )
+                for k in range(unroll)
+            ],
+            axis=1,
+        )
+        ms_g = _select3(msc_parts, onehot_g)  # [M_pad, unroll*LANES]
+        is_g = _select3(isc_parts, onehot_g)
+        for k in range(unroll):
+            sl = slice(k * lanes, (k + 1) * lanes)
+            carry = one_step(
+                u * unroll + k, ms_g[:, sl], is_g[:, sl], *carry
+            )
+        return carry
+
+    m, i_st, pd, j_st, c_st, n_st, b_st = jax.lax.fori_loop(
+        0, chunk_len // unroll, step,
+        (m0, i0, pd0, s0[0:1, :], s0[1:2, :], s0[2:3, :], s0[3:4, :]),
+    )
+
+    m_out_ref[:, :] = m
+    i_out_ref[:, :] = i_st
+    d_out_ref[:, :] = pd
+    s_out_ref[:, :] = jnp.concatenate([j_st, c_st, n_st, b_st], axis=0)
+    score_ref[:, :] = c_st + tr_move
+
+
+# auto-picked lazy window: smallest K whose dropped-pass constants damp
+# by at least this many nats below the best M cell — the spread
+# e_st - floor[j] across a live DP row (measured up to ~15 nats on
+# random sequences, tools/lazy_chain_lab.py) is what the certificate
+# must beat for the fallback to stay cold
+LAZY_TAIL_DAMP_NATS = 17.0
+
+
+def pick_lazy_window(p7: P7Profile, m_pad: int) -> int:
+    """Smallest chain window K with 2^K * |max(tdd)| >=
+    LAZY_TAIL_DAMP_NATS (measured-quiet certificate on random
+    sequences: 1400.hmm needs K=6, 2405 K=5 — tools/lazy_chain_lab.py);
+    full chain for profiles with non-damping (tdd >= 0) columns."""
+    full_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+    finite = p7.tdd[np.isfinite(p7.tdd)]
+    tdd_max = float(finite.max()) if finite.size else 0.0
+    if tdd_max >= 0.0:
+        return full_passes
+    need = LAZY_TAIL_DAMP_NATS / -tdd_max
+    return int(np.clip(np.ceil(np.log2(max(need, 1.0))), 1, full_passes))
+
+
+def prepare_p7_device_lazy(
+    p7: P7Profile, m_pad: int | None = None, lazy_k: int | None = None
+):
+    """Host packing for the lazy exact Viterbi kernel: the standard
+    prepare_p7_device arrays with a widened SMEM const row
+    [tr_B_Mk, tr_E_C, tr_E_J, aux, tmd_max] where ``aux`` is the
+    largest finite chain constant of any DROPPED pass (>= every value
+    the dropped passes could add — the certificate's tail term) and
+    tmd_max bounds a0 via the E reduce. Returns (msc_t, isc_t, trans_t,
+    chain_t, consts5, lazy_k)."""
+    mr = p7.num_states
+    m_pad = m_pad or _round_up(max(mr, 8), 8)
+    msc_t, isc_t, trans_t, chain_t, _ = prepare_p7_device(p7, m_pad)
+    n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+    if lazy_k is None:
+        lazy_k = pick_lazy_window(p7, m_pad)
+    lazy_k = min(max(lazy_k, 1), n_passes)
+
+    dropped = chain_t[:, lazy_k:n_passes]
+    finite = dropped[np.isfinite(dropped)]
+    finite = finite[finite > NEG_INF / 2]
+    aux = np.float32(finite.max()) if finite.size else np.float32(NEG_INF)
+    tmd_fin = p7.tmd[np.isfinite(p7.tmd)]
+    tmd_max = np.float32(tmd_fin.max()) if tmd_fin.size else np.float32(NEG_INF)
+    consts5 = np.array(
+        [[p7.tr_B_Mk, p7.tr_E_C, p7.tr_E_J, aux, tmd_max]], dtype=np.float32
+    )
+    return msc_t, isc_t, trans_t, chain_t, consts5, lazy_k
+
+
 def e_skip_d_ok(p7: P7Profile) -> bool:
     """True when E = max(new_m) is EXACTLY the full E-reduction (D
     states can never win the E max): requires every tmd and tdd <= 0 —
@@ -1181,10 +1450,38 @@ def viterbi_pallas(
     lengths,
     l_chunk: int = DEFAULT_L_CHUNK,
     interpret: bool = False,
+    lazy: bool = True,
+    lazy_k: int | None = None,
 ) -> jax.Array:
     """Full local Viterbi scores via the Pallas kernel; f32 [B].
 
-    Drop-in for ops.p7_scan.viterbi_xla (differential-tested)."""
+    Drop-in for ops.p7_scan.viterbi_xla (differential-tested). The
+    default runs the lazily-certified truncated-chain kernel
+    (_p7_lazy_kernel — exact scores, ~half the chain work); set
+    ``lazy=False`` for the eager full-chain kernel (A/B reference)."""
+    if lazy and e_skip_d_ok(p7):
+        tokens_t, lengths_p, tr_rows, b, l_chunk = _prepare_tokens(
+            tokens, lengths, l_chunk
+        )
+        msc_t, isc_t, trans_t, chain_t, consts5, k = prepare_p7_device_lazy(
+            p7, lazy_k=lazy_k
+        )
+        score = _p7_pallas_padded(
+            jnp.asarray(msc_t),
+            jnp.asarray(isc_t),
+            jnp.asarray(trans_t),
+            jnp.asarray(chain_t),
+            jnp.asarray(tokens_t),
+            jnp.asarray(lengths_p),
+            jnp.asarray(tr_rows),
+            jnp.asarray(consts5),
+            l_chunk=l_chunk,
+            interpret=interpret,
+            forward=False,
+            e_skip_d=True,
+            lazy_k=k,
+        )
+        return score[:b]
     return _run(p7, tokens, lengths, l_chunk, interpret, forward=False)
 
 

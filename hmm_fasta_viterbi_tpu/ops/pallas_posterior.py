@@ -47,12 +47,16 @@ from .pallas_p7 import (
 )
 from ..models.msv import length_transitions
 
-# VMEM budget: the streamed fm block (l_chunk * m_pad * 128 lanes * 4 B)
-# double-buffers on top of the DP carries and step temporaries; 16 rows
-# at M=1400 is ~11.5 MB/buffer (32 rows OOMed the 100 MB scoped limit
-# at M=1400 on v5e)
-POST_L_CHUNK = 16
+# VMEM budget: the streamed fm block (l_chunk * m_pad * lanes * 2 B —
+# round 3 streams alpha rows in BF16, halving both the VMEM block and
+# the HBM traffic; the coverage consumer thresholds at 0.5, ~250x the
+# bf16-induced error) double-buffers on top of the DP carries and step
+# temporaries; 32 bf16 rows at M=1400 x 128 lanes is ~11.5 MB/buffer
+POST_L_CHUNK = 32
 STEP_UNROLL = 8
+# HBM budget for the streamed alpha rows of one dispatch; batch_chunk
+# auto-picks the widest lane multiple that fits
+POST_HBM_BYTES = 3 << 30
 
 
 def prepare_suffix_chain(p7: P7Profile, m_pad: int | None = None) -> np.ndarray:
@@ -153,8 +157,11 @@ def _fwd_save_kernel(
         new_b = new_n * p_move + new_j * p_move
 
         valid = (base + t) < lengths
-        # stream the scaled alpha_M row + its scale for the backward pass
-        fm_ref[pl.ds(t, 1), :, :] = jnp.where(valid, new_m, 0.0)[None]
+        # stream the scaled alpha_M row (BF16 — see module docstring) +
+        # its scale for the backward pass
+        fm_ref[pl.ds(t, 1), :, :] = (
+            jnp.where(valid, new_m, 0.0).astype(jnp.bfloat16)[None]
+        )
         ls_ref[pl.ds(t, 1), :] = log_scale
         return (
             new_m,
@@ -294,7 +301,7 @@ def _bwd_cov_kernel(
         comp = jnp.where(at_end, 0.0, comp)
 
         # coverage at position t pairs alpha row t with beta row t
-        fm = fm_ref[pl.ds(t, 1), :, :][0]
+        fm = fm_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)
         lsf = ls_ref[pl.ds(t, 1), :]
         cov = jnp.sum(fm * bm, axis=0, keepdims=True)
         cov = cov * jnp.exp(lsf + lsb - total)
@@ -361,15 +368,17 @@ def _bwd_cov_kernel(
     )
 
 
-def _pick(m_pad: int) -> tuple[int, int]:
+def _pick(m_pad: int, lanes: int = LANES) -> tuple[int, int]:
     l_chunk = POST_L_CHUNK if m_pad <= 1536 else POST_L_CHUNK // 2
+    # wider lane tiles multiply the fm VMEM block; keep it ~constant
+    l_chunk = max(8, l_chunk // max(lanes // LANES, 1))
     return l_chunk, pick_p7_unroll(m_pad, l_chunk, STEP_UNROLL)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "lanes"))
 def _posterior_padded(
     modds_t, iodds_t, trans_t, chain_t, schain_t, tokens_i8_t, lengths,
-    tr_rows, tr_probs, tr_consts, interpret: bool,
+    tr_rows, tr_probs, tr_consts, interpret: bool, lanes: int = LANES,
 ):
     """Two pallas passes over padded operands.
 
@@ -380,9 +389,8 @@ def _posterior_padded(
     """
     m_pad = modds_t.shape[0]
     l_pad, b_pad = tokens_i8_t.shape
-    l_chunk, unroll = _pick(m_pad)
-    assert l_pad % l_chunk == 0 and b_pad % LANES == 0
-    lanes = LANES  # fm HBM block scales with lanes; keep minimal tiles
+    l_chunk, unroll = _pick(m_pad, lanes)
+    assert l_pad % l_chunk == 0 and b_pad % lanes == 0
     num_b = b_pad // lanes
     num_l = l_pad // l_chunk
     lengths2d = lengths.reshape(1, b_pad)
@@ -432,7 +440,7 @@ def _posterior_padded(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
-            jax.ShapeDtypeStruct((l_pad, m_pad, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((l_pad, m_pad, b_pad), jnp.bfloat16),
             jax.ShapeDtypeStruct((l_pad, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((m_pad, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((m_pad, b_pad), jnp.float32),
@@ -489,29 +497,47 @@ def posterior_coverage_batch_pallas(
     tokens,
     lengths,
     interpret: bool = False,
-    batch_chunk: int = 128,
+    batch_chunk: int | None = None,
+    lanes: int = LANES,
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batched coverage via the two-pass Pallas decode.
 
     Same contract as ops.p7_scan.posterior_coverage_batch_xla:
-    (coverage [B, L_pad_128] f32 zeroed past each length, totals [B]).
-    ``batch_chunk`` bounds the [L_pad, M_pad, 128] forward-row streams
-    resident in HBM at once (one lane-block each).
+    (coverage [B, L_pad] f32 zeroed past each length, totals [B]).
+    ``batch_chunk`` bounds the bf16 [L_pad, M_pad, B_chunk] forward-row
+    stream resident in HBM at once; the default auto-picks the widest
+    chunk under POST_HBM_BYTES (round 3 — was a fixed 128-lane loop,
+    which serialized hit batches host-side). ``mesh`` shards the hit
+    batch over the mesh's db axis (parallel.database
+    make_db_posterior_scanner) — the --domains path rides the mesh like
+    every other stage.
     """
     tokens = np.asarray(tokens, dtype=np.int32)
     lengths_np = np.asarray(lengths, dtype=np.int32)
     b, seq_len = tokens.shape
     m_pad = _round_up(max(p7.num_states, 8), 8)
-    l_chunk, _ = _pick(m_pad)
+    l_chunk, _ = _pick(m_pad, lanes)
     l_pad = _round_up(max(seq_len, 1), l_chunk)
 
-    # the streamed alpha rows cost l_pad * m_pad * 128 lanes * 4 B of
-    # HBM per lane-block; past ~4 GB fall back to the lax.scan decode
-    # (slower, O(L*M) too but without the lane-width multiplier)
-    if l_pad * m_pad * LANES * 4 > 4 << 30:
+    # the streamed bf16 alpha rows cost l_pad * m_pad * b_pad * 2 B of
+    # HBM per dispatch; auto-pick the widest batch chunk under the
+    # budget (round 3: was a fixed 128-lane host loop), and fall back to
+    # the lax.scan decode only when even one lane-block cannot fit
+    gran = lanes
+    if mesh is not None:
+        from ..parallel.mesh import DB_AXIS
+
+        gran = lanes * mesh.shape[DB_AXIS]
+    bytes_per_lane = l_pad * m_pad * 2
+    if bytes_per_lane * gran > POST_HBM_BYTES:
         from .p7_scan import posterior_coverage_batch_xla
 
         return posterior_coverage_batch_xla(p7, tokens, lengths_np)
+    if batch_chunk is None:
+        batch_chunk = max(
+            gran, POST_HBM_BYTES // (bytes_per_lane * gran) * gran
+        )
 
     packed = prepare_p7_device_prob(p7)
     schain = prepare_suffix_chain(p7)
@@ -521,10 +547,17 @@ def posterior_coverage_batch_pallas(
 
     cov_out = np.zeros((b, l_pad), dtype=np.float32)
     tot_out = np.zeros(b, dtype=np.float32)
+    scan_fn = None
+    if mesh is not None:
+        from ..parallel.database import make_db_posterior_scanner
+
+        scan_fn = make_db_posterior_scanner(
+            mesh, interpret=interpret, lanes=lanes
+        )
     for lo in range(0, b, batch_chunk):
         hi = min(lo + batch_chunk, b)
         nb = hi - lo
-        b_pad = _round_up(nb, LANES)
+        b_pad = _round_up(nb, gran)
         tok_t = np.full((l_pad, b_pad), 127, dtype=np.int8)
         tok_t[:seq_len, :nb] = tokens[lo:hi].T
         lens_p = np.zeros(b_pad, dtype=np.int32)
@@ -534,12 +567,19 @@ def posterior_coverage_batch_pallas(
         tr_rows = np.stack([tr_loop, tr_move]).astype(np.float32)
         probs2 = length_transition_probs(lens_p)  # [2, B_pad]
 
-        cov, tot = _posterior_padded(
-            *dev, schain_dev,
-            jnp.asarray(tok_t), jnp.asarray(lens_p),
-            jnp.asarray(tr_rows), jnp.asarray(probs2), tr_consts,
-            interpret=interpret,
-        )
+        if scan_fn is not None:
+            cov, tot = scan_fn(
+                *dev, schain_dev,
+                jnp.asarray(tok_t), jnp.asarray(lens_p),
+                jnp.asarray(tr_rows), jnp.asarray(probs2), tr_consts,
+            )
+        else:
+            cov, tot = _posterior_padded(
+                *dev, schain_dev,
+                jnp.asarray(tok_t), jnp.asarray(lens_p),
+                jnp.asarray(tr_rows), jnp.asarray(probs2), tr_consts,
+                interpret=interpret, lanes=lanes,
+            )
         cov_out[lo:hi] = np.asarray(cov)[:, :nb].T
         tot_out[lo:hi] = np.asarray(tot)[:nb]
     return cov_out, tot_out

@@ -126,6 +126,7 @@ def make_db_p7_scanner(
     l_chunk: int = 256,
     interpret: bool = False,
     e_skip_d: bool = False,
+    lazy_k: int = 0,
 ):
     """db-sharded Viterbi / Forward stage scan (the full-cascade analogue
     of :func:`make_db_scanner`): each device runs the p7 Pallas kernel
@@ -146,7 +147,7 @@ def make_db_p7_scanner(
             return _p7_pallas_padded(
                 msc, isc, trans, chain, tok, lens, trr, trc,
                 l_chunk=l_chunk, interpret=interpret, forward=False,
-                e_skip_d=e_skip_d,
+                e_skip_d=e_skip_d, lazy_k=lazy_k,
             )
 
         in_specs = (
@@ -204,6 +205,42 @@ def make_db_p7_filter_scanner(
             P(None, DB_AXIS), P(DB_AXIS), P(None, DB_AXIS), P(),
         ),
         out_specs=P(DB_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def make_db_posterior_scanner(
+    mesh: Mesh, interpret: bool = False, lanes: int = 128
+):
+    """db-sharded batched posterior-coverage decode (round 3: the
+    --domains path rides the mesh like every other stage): each device
+    runs the two-pass Pallas forward-backward
+    (ops.pallas_posterior._posterior_padded) on its local hit shard.
+
+    Returns a jitted fn(modds, iodds, trans, chain, schain, tokens_i8_t
+    [L_pad, B_pad], lengths [B_pad], tr_rows, tr_probs, tr_consts) ->
+    (cov [L_pad, B_pad], totals [B_pad]); B_pad must divide
+    db * lanes."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas_posterior import _posterior_padded
+
+    def local(modds, iodds, trans, chain, schain, tok, lens, trr, trp, trc):
+        return _posterior_padded(
+            modds, iodds, trans, chain, schain, tok, lens, trr, trp, trc,
+            interpret=interpret, lanes=lanes,
+        )
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(), P(),
+            P(None, DB_AXIS), P(DB_AXIS), P(None, DB_AXIS),
+            P(None, DB_AXIS), P(),
+        ),
+        out_specs=(P(None, DB_AXIS), P(DB_AXIS)),
         check_vma=False,
     )
     return jax.jit(mapped)

@@ -347,7 +347,7 @@ def msv_scan_seqblocks(
 
 def _wavefront_pallas_p7(
     msc, isc, trans, chain, tr_consts, tokens_t, lengths, tr_rows,
-    tr_probs, l_chunk, interpret, forward, e_skip_d,
+    tr_probs, l_chunk, interpret, forward, e_skip_d, lazy_k=0,
 ):
     """Per-device wavefront body with the Viterbi / prob-space Forward
     Pallas kernel as the block scanner — the full-cascade extension of
@@ -416,7 +416,7 @@ def _wavefront_pallas_p7(
                 msc, isc, trans, chain, toks.astype(jnp.int32), lens_g,
                 trr_g, tr_consts, m_in, i_in, d_in, s_in,
                 l_chunk=lc, interpret=interpret, forward=False,
-                e_skip_d=e_skip_d,
+                e_skip_d=e_skip_d, lazy_k=lazy_k,
             )
         m_o = jnp.where(valid, m_o, m_c)
         i_o = jnp.where(valid, i_o, i_c)
@@ -458,6 +458,7 @@ def make_seqblock_scanner_p7(
     l_chunk: int = 256,
     interpret: bool = False,
     e_skip_d: bool = False,
+    lazy_k: int = 0,
 ):
     """Jitted (db, sp)-sharded Viterbi / Forward stage scan: residue
     blocks of each sequence pipeline across the sp axis with the p7
@@ -469,6 +470,7 @@ def make_seqblock_scanner_p7(
         interpret=interpret,
         forward=forward,
         e_skip_d=e_skip_d,
+        lazy_k=lazy_k,
     )
     mapped = jax.shard_map(
         fn,
@@ -523,15 +525,19 @@ def p7_scan_seqblocks_pallas(
     tr_rows = np.stack([tr_loop, tr_move]).astype(np.float32)
     tr_probs = pallas_p7.length_transition_probs(lengths_p)
 
+    lazy_k = 0
     if forward:
         packed = pallas_p7.prepare_p7_device_prob(p7)
         e_skip = False
     else:
-        packed = pallas_p7.prepare_p7_device(p7)
         e_skip = pallas_p7.e_skip_d_ok(p7)
+        if e_skip:
+            *packed, lazy_k = pallas_p7.prepare_p7_device_lazy(p7)
+        else:
+            packed = pallas_p7.prepare_p7_device(p7)
     scanner = make_seqblock_scanner_p7(
         mesh, forward=forward, l_chunk=l_chunk, interpret=interpret,
-        e_skip_d=e_skip,
+        e_skip_d=e_skip, lazy_k=lazy_k,
     )
     out = scanner(
         *(jnp.asarray(x) for x in packed),

@@ -436,18 +436,24 @@ class MSVScanner:
         if self.backend == "pallas":
             from .ops import pallas_p7
 
+            eskip = stage == "viterbi" and pallas_p7.e_skip_d_ok(p7)
             key = (id(p7), "p7", stage)
             dev = self._cache_get(key, p7)
             if dev is None:
-                packed = (
-                    pallas_p7.prepare_p7_device_prob(p7)
-                    if stage == "forward"
-                    else pallas_p7.prepare_p7_device(p7)
-                )
+                if stage == "forward":
+                    packed = pallas_p7.prepare_p7_device_prob(p7)
+                    lazy_k = 0
+                elif eskip:
+                    # lazily-certified truncated-chain exact kernel
+                    # (round 3: same scores, ~half the chain work)
+                    *packed, lazy_k = pallas_p7.prepare_p7_device_lazy(p7)
+                else:
+                    packed = pallas_p7.prepare_p7_device(p7)
+                    lazy_k = 0
                 dev = self._cache_put(
-                    key, p7, tuple(jnp.asarray(x) for x in packed)
+                    key, p7,
+                    tuple(jnp.asarray(x) for x in packed) + (lazy_k,),
                 )
-            eskip = stage == "viterbi" and pallas_p7.e_skip_d_ok(p7)
             if self.mesh is not None:
                 from .parallel.database import make_db_p7_scanner
 
@@ -457,6 +463,7 @@ class MSVScanner:
                     l_chunk=self.l_chunk,
                     interpret=self.interpret,
                     e_skip_d=eskip,
+                    lazy_k=dev[5],
                 )
                 args = (
                     *dev[:4], staged.tokens_i8_t, staged.lengths,
@@ -488,6 +495,7 @@ class MSVScanner:
                     interpret=self.interpret,
                     forward=False,
                     e_skip_d=eskip,
+                    lazy_k=dev[5],
                 )
         else:
             from .ops.p7_scan import forward_xla, viterbi_xla
@@ -651,7 +659,8 @@ def _compact_f32(x: jax.Array, onehot_f32: jax.Array) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "l_chunk", "interpret", "cap1", "cap2", "filter_window", "e_skip_d"
+        "l_chunk", "interpret", "cap1", "cap2", "filter_window",
+        "e_skip_d", "lazy_k",
     ),
 )
 def _fused_cascade(
@@ -673,6 +682,7 @@ def _fused_cascade(
     cap2: int,
     filter_window: int,
     e_skip_d: bool,
+    lazy_k: int = 0,
 ):
     """The whole hmmsearch acceleration cascade as ONE XLA program.
 
@@ -756,7 +766,7 @@ def _fused_cascade(
     vit = pallas_p7._p7_pallas_padded(
         v_msc, v_isc, v_trans, v_chain, sub_tok3, sub_len3,
         sub_trr3, v_consts, l_chunk=l_chunk, interpret=interpret,
-        forward=False, e_skip_d=e_skip_d,
+        forward=False, e_skip_d=e_skip_d, lazy_k=lazy_k,
     )
     fwd = pallas_p7._fwd_prob_padded(
         f_modds, f_iodds, f_trans, f_chain, sub_tok3, sub_len3,
@@ -906,7 +916,11 @@ class SearchPipeline:
             [[msvp.tr_B_Mk, msvp.tr_E_C, msvp.tr_E_J]], dtype=np.float32
         )
         vf_pack = pallas_p7.prepare_p7_device_filter(p7)
-        v_pack = pallas_p7.prepare_p7_device(p7)
+        eskip = pallas_p7.e_skip_d_ok(p7)
+        if eskip:
+            *v_pack, v_lazy_k = pallas_p7.prepare_p7_device_lazy(p7)
+        else:
+            v_pack, v_lazy_k = pallas_p7.prepare_p7_device(p7), 0
         f_pack = pallas_p7.prepare_p7_device_prob(p7)
         thr = np.array(
             [
@@ -937,6 +951,7 @@ class SearchPipeline:
             ),
             vf_pack[5],  # filter_window
             vf_pack[6],  # e_skip_d (== e_skip_d_ok(p7))
+            v_lazy_k,
         )
         return sc._cache_put(key, hmm, entry)
 
@@ -947,7 +962,7 @@ class SearchPipeline:
         sc = self.scanner
         if sc.backend != "pallas" or sc.mesh is not None:
             return None
-        arrays, window, eskip = self._fused_packs(hmm)
+        arrays, window, eskip, v_lazy_k = self._fused_packs(hmm)
         b = staged.num_sequences
         b_pad = staged.tokens_i8_t.shape[1]
         cap1 = int(np.clip(
@@ -964,6 +979,7 @@ class SearchPipeline:
             staged.tr_probs, arrays[-1],
             l_chunk=sc.l_chunk, interpret=sc.interpret,
             cap1=cap1, cap2=cap2, filter_window=window, e_skip_d=eskip,
+            lazy_k=v_lazy_k,
         )
         filt, n1, exact1, n2, vfilt, n3, vit, fwd = (
             np.asarray(x) for x in out

@@ -286,8 +286,10 @@ def test_posterior_coverage_pallas_vs_xla(p7_100):
     )
     np.testing.assert_allclose(got_tot, want_tot, atol=2e-3, rtol=0)
     n = min(got_cov.shape[1], want_cov.shape[1])
+    # 4e-3: round 3 streams the alpha rows in bf16 (ops.pallas_posterior
+    # docstring); the envelope consumer thresholds at 0.5, >100x this
     np.testing.assert_allclose(
-        got_cov[:, :n], want_cov[:, :n], atol=1e-3, rtol=0
+        got_cov[:, :n], want_cov[:, :n], atol=4e-3, rtol=0
     )
     for b in range(5):
         assert np.all(got_cov[b, lengths[b]:] == 0.0)
@@ -311,7 +313,8 @@ def test_posterior_coverage_pallas_mini_multidomain():
     )
     np.testing.assert_allclose(got_tot, want_tot, atol=2e-3, rtol=0)
     n = min(got_cov.shape[1], want_cov.shape[1])
-    np.testing.assert_allclose(got_cov[:, :n], want_cov[:, :n], atol=1e-3, rtol=0)
+    # 4e-3: bf16 alpha stream (see above)
+    np.testing.assert_allclose(got_cov[:, :n], want_cov[:, :n], atol=4e-3, rtol=0)
 
 
 def test_cli_search_domains_pallas_backend(tmp_path, profile_dir, capsys):

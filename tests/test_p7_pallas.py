@@ -254,3 +254,57 @@ def test_length_transition_probs_host_exact():
         )
         assert got[0, k] == exact_loop, (L, got[0, k], exact_loop)
         assert got[1, k] == exact_move
+
+
+def test_lazy_viterbi_bitwise_equals_full(p7_100, p7_200):
+    """Round 3: the lazily-certified truncated-chain kernel must be
+    BITWISE identical to the eager full-chain kernel (and the oracle)
+    for every window, including windows small enough to force the
+    in-kernel fallback path."""
+    rng = np.random.default_rng(17)
+    for p7 in (p7_100, p7_200):
+        tokens = rng.integers(0, 20, size=(4, 150)).astype(np.int32)
+        lengths = np.array([150, 93, 1, 150], dtype=np.int32)
+        full = np.asarray(
+            viterbi_pallas(p7, tokens, lengths, interpret=True, lazy=False)
+        )
+        want = viterbi_oracle_batch(p7, tokens, lengths)
+        for k in (1, 2, None):  # 1/2 force the fallback; None auto-picks
+            lazy = np.asarray(
+                viterbi_pallas(
+                    p7, tokens, lengths, interpret=True, lazy_k=k
+                )
+            )
+            np.testing.assert_array_equal(lazy, full)
+        np.testing.assert_allclose(full, want, atol=1e-4, rtol=0)
+
+
+def test_lazy_viterbi_weak_damping_profile():
+    """A profile with near-free deletions (tdd ~ log 0.98) makes long
+    delete runs genuinely competitive — the certificate must fire and
+    the fallback must keep scores exact."""
+    from test_hmm_parsing import MINI_HMM
+
+    hmm = parse_hmm_text(MINI_HMM)
+    p7 = P7Profile.from_profile(hmm)
+    # rebuild with weak deletion damping: tdd = log(0.98)
+    p7 = type(p7)(
+        **{
+            **{f.name: getattr(p7, f.name) for f in p7.__dataclass_fields__.values()},
+            "tdd": np.where(
+                np.isfinite(p7.tdd), np.float32(np.log(0.98)), p7.tdd
+            ).astype(np.float32),
+        }
+    )
+    rng = np.random.default_rng(23)
+    tokens = rng.integers(0, 20, size=(3, 40)).astype(np.int32)
+    lengths = np.array([40, 17, 40], dtype=np.int32)
+    full = np.asarray(
+        viterbi_pallas(p7, tokens, lengths, interpret=True, lazy=False)
+    )
+    lazy = np.asarray(
+        viterbi_pallas(p7, tokens, lengths, interpret=True, lazy_k=1)
+    )
+    np.testing.assert_array_equal(lazy, full)
+    want = viterbi_oracle_batch(p7, tokens, lengths)
+    np.testing.assert_allclose(lazy, want, atol=1e-4, rtol=0)

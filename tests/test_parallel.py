@@ -401,3 +401,30 @@ def test_sp_search_cascade_matches_single_device(profile_dir):
     np.testing.assert_allclose(
         got.forward_scores[m], want.forward_scores[m], atol=2e-3, rtol=0
     )
+
+
+def test_db_mesh_posterior_decode(profile_dir):
+    """Round 3: the --domains posterior decode rides the db mesh; the
+    sharded two-pass Pallas decode must match the single-device xla
+    decode (bf16-stream tolerance)."""
+    from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+    from hmm_fasta_viterbi_tpu.ops.p7_scan import posterior_coverage_batch_xla
+    from hmm_fasta_viterbi_tpu.ops.pallas_posterior import (
+        posterior_coverage_batch_pallas,
+    )
+
+    p7 = P7Profile.from_profile(parse_hmm(profile_dir / "100.hmm"))
+    rng = np.random.default_rng(41)
+    B, L = 5, 96
+    tokens = rng.integers(0, 20, size=(B, L)).astype(np.int32)
+    lengths = np.array([L, 40, 1, 96, 64], dtype=np.int32)
+    mesh = make_scan_mesh(db=8, sp=1)
+    cov, tot = posterior_coverage_batch_pallas(
+        p7, tokens, lengths, interpret=True, mesh=mesh
+    )
+    cov_x, tot_x = posterior_coverage_batch_xla(p7, tokens, lengths)
+    lmin = min(cov.shape[1], cov_x.shape[1])
+    np.testing.assert_allclose(
+        cov[:, :lmin], cov_x[:, :lmin], atol=4e-3, rtol=0
+    )
+    np.testing.assert_allclose(tot, tot_x, atol=2e-3, rtol=0)

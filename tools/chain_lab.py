@@ -57,6 +57,7 @@ def main():
     ap.add_argument("--widest", type=int, default=512)
     ap.add_argument("--l-chunk", type=int, default=pp.DEFAULT_L_CHUNK)
     ap.add_argument("--windows", default="1,2,3,4,5,6,8,11")
+    ap.add_argument("--lazy", default="", help="lazy_k values to time, e.g. 5,6,7")
     ap.add_argument("--skip-exact", action="store_true")
     args = ap.parse_args()
 
@@ -103,7 +104,28 @@ def main():
             flush=True,
         )
 
-    for w in [int(x) for x in args.windows.split(",")]:
+    for k in [int(x) for x in args.lazy.split(",") if x]:
+        msc_t2, isc_t2, trans_t2, chain_t2, consts5, kk = (
+            pp.prepare_p7_device_lazy(p7, lazy_k=k)
+        )
+        pp._p7_pallas_padded.clear_cache()
+        best, out = timeit(
+            lambda: pp._p7_pallas_padded(
+                jnp.asarray(msc_t2), jnp.asarray(isc_t2),
+                jnp.asarray(trans_t2), jnp.asarray(chain_t2),
+                tokens_d, lengths_d, tr_rows_d, jnp.asarray(consts5),
+                l_chunk=l_chunk, interpret=False, forward=False,
+                e_skip_d=True, lazy_k=kk,
+            ),
+            args.reps,
+        )
+        print(
+            f"lazy  K={kk:2d} widest={args.widest} l_chunk={l_chunk}: "
+            f"{cells/best/1e9:7.2f} GCUPS  {best*1e3:8.2f} ms  reps={[f'{x*1e3:.1f}' for x in out]}",
+            flush=True,
+        )
+
+    for w in [int(x) for x in args.windows.split(",") if x]:
         packed = pp.prepare_p7_device_filter(p7, window_log2=w)
         msc_bf, isc_bf, ftrans, fchain, ftr_consts, window, e_skip = packed
         pp._p7_filter_padded.clear_cache()
