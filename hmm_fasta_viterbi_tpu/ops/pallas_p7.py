@@ -331,16 +331,13 @@ def p7_pallas_call(
         kern = functools.partial(
             _p7_lazy_kernel, unroll=unroll, lazy_k=lazy_k
         )
-        scratch_shapes = [pltpu.VMEM((m_pad, lanes), jnp.float32)]
     else:
         kern = functools.partial(
             _p7_kernel, unroll=unroll, forward=forward, e_skip_d=e_skip_d
         )
-        scratch_shapes = []
     score, m_out, i_out, d_out, s_out = pl.pallas_call(
         kern,
         grid=(num_b, num_l),
-        scratch_shapes=scratch_shapes,
         in_specs=[
             pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
@@ -373,10 +370,7 @@ def p7_pallas_call(
             jax.ShapeDtypeStruct((4, b_pad), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            # the lazy kernel's batched group selects + fallback scratch
-            # need ~4 MB past the usual 100 MB scoped budget at M=1408 x
-            # 512 lanes x unroll 4 (v5e has 128 MiB physical VMEM)
-            vmem_limit_bytes=(112 if lazy_k > 0 else 100) * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
@@ -895,7 +889,6 @@ def _p7_lazy_kernel(
     i_out_ref,
     d_out_ref,  # pre_diag carry out
     s_out_ref,
-    d_scratch,  # [M_pad, LANES] f32 VMEM scratch (fallback staging)
     *,
     unroll: int,
     lazy_k: int,
@@ -907,32 +900,43 @@ def _p7_lazy_kernel(
 
     * only ``lazy_k`` Hillis-Steele passes run per residue (covering
       D-runs shorter than 2**lazy_k exactly);
-    * the contribution of any LONGER run is upper-bounded by
-      ``t_tail = fl(fl(e + tmd_max) + aux)`` with e = max(new_m) (the
-      E reduce, already computed) and aux = the largest remaining-pass
-      chain constant: every operand of the dropped passes is <= max(a0)
-      <= fl(e + tmd_max) and correctly-rounded addition is monotone, so
-      every value the dropped passes could produce is <= t_tail;
+    * the contribution of any LONGER run to row j is upper-bounded
+      PER ROW by ``t_row_j = fl(fl(fl(e + tmd_max) + Cmax_j) + tdm_j)``
+      with e = max(new_m) (the E reduce, already computed), Cmax_j =
+      the exact host-side max over the DROPPED passes' chain constants
+      at row j (chain_t column 15), and the additions performed in
+      this exact order in-kernel: every dropped-pass value at row j is
+      fl(a_val + C_k[j]) with a_val <= max(a0) <= fl(e + tmd_max), and
+      correctly-rounded addition is monotone in each operand, so
+      fl(fl(a_val + C_k[j]) + tdm_j) <= t_row_j with NO ulp slack
+      games — the kernel reproduces the bound's own rounding path;
     * with e_skip_d (required: E = max(new_m) exactly), D's ONLY
-      consumer is the next residue's diagonal max, so the truncation is
-      invisible unless t_tail could win that max somewhere:
-      ``viol = any((t_tail > a) & (t_tail + tdm > floor))`` with
-      floor = max(new_m + tmm, new_i + tim) — the m/i part of the next
-      step's diag — computed at PRODUCTION time;
-    * on viol (never on the benchmark corpus for the auto-picked
-      window; guaranteed-correct regardless) the remaining passes run
-      inside a ``pl.when`` against a VMEM scratch and restore the full
-      exact chain (the Hillis-Steele prefix state is resumable).
-      ``lax.cond`` is NOT used: Mosaic predicates vector-valued conds —
-      both branches execute — measured as a net LOSS at every window
+      consumer is the next residue's diagonal max via
+      ``pre_diag = max(floor, new_d + tdm)``, so the truncation is
+      invisible unless the bounded tail could win that max:
+      ``viol_vec = t_row > new_pd`` (new_pd computed from the
+      truncated chain — if t_row <= new_pd the improved D + tdm can't
+      change pre_diag anywhere, by the same monotonicity);
+    * the certificate is accumulated (vector OR) across the WHOLE
+      L-chunk in a register carry and checked ONCE per chunk: two
+      complementary ``pl.when`` branches either commit the truncated
+      result or replay the entire chunk with the full chain — the
+      chunk's ENTRY state is still sitting untouched in the out-refs
+      (they are only written by whichever branch runs), so the replay
+      needs no scratch at all. Round-3 v1 branched per STEP through a
+      VMEM scratch roundtrip (measured perf-NEUTRAL: the store+load+
+      branch cost exactly the saved chain passes); v2 branched per
+      unroll-GROUP with an entry-copy scratch (+6 % only — the
+      per-group carry roundtrip still dominated). ``lax.cond`` is NOT
+      used: Mosaic predicates vector-valued conds — both branches
+      execute — measured as a net LOSS at every window
       (tools/chain_lab.py round 3); ``pl.when`` lowers to a real branch.
 
-    Emission selects for the whole unroll group are batched into single
-    [M_pad, 20] x [20, unroll*LANES] MXU passes issued before the serial
-    VPU steps — the measured filter-window cost curve shows the small
-    per-step dots do NOT hide under the VPU chain (w=11 filter vs exact
-    delta ~26 ms = the extra select passes), so batching amortizes the
-    K=20 systolic fill and gives the scheduler room to overlap.
+    Emission selects stay per-step (one [M_pad, 20] x [20, LANES] MXU
+    pass each): v1's group-batched selects measured ~5 % SLOWER than
+    per-step (43.5 vs 45.6 GCUPS at K=11) — the selects already overlap
+    with the VPU chain (p7_lab ablation), so batching only added
+    concat/VMEM cost.
 
     Because floor is already in hand, the carry stores
     ``pre_diag = max(floor, new_d + tdm)`` instead of D itself: the next
@@ -964,11 +968,11 @@ def _p7_lazy_kernel(
     tr_b_mk = tr_const_ref[0, 0]
     tr_e_c = tr_const_ref[0, 1]
     tr_e_j = tr_const_ref[0, 2]
-    aux = tr_const_ref[0, 3]
     tmd_max = tr_const_ref[0, 4]
     tr_loop = tr_row_ref[0:1, :]
     tr_move = tr_row_ref[1:2, :]
     lengths = lengths_ref[0:1, :]
+    cmax = chain_ref[:, 15:16]  # per-row max dropped-pass constant
 
     n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
     k_run = min(max(lazy_k, 1), n_passes)
@@ -980,44 +984,33 @@ def _p7_lazy_kernel(
         d_out_ref[:, :] = d_in_ref[:, :]
         s_out_ref[:, :] = s_in_ref[:, :]
 
-    m0 = m_out_ref[:, :]
-    i0 = i_out_ref[:, :]
-    pd0 = d_out_ref[:, :]
-    s0 = s_out_ref[:, :]
-
     aa_iota = jax.lax.broadcasted_iota(jnp.int32, (20, lanes), 0)
     base = l_idx * chunk_len
 
-    def one_step(t, ms, is_, m, i_st, pre_diag, j_st, c_st, n_st, b_st):
+    def one_step(t, m, i_st, pre_diag, j_st, c_st, n_st, b_st,
+                 n_chain, want_cert):
+        tok = tokens_ref[pl.ds(t, 1), :]
+        onehot = (aa_iota == tok).astype(jnp.bfloat16)
+        ms = _select3(msc_parts, onehot)  # [M_pad, LANES]
+        is_ = _select3(isc_parts, onehot)
+
         diag = pltpu.roll(pre_diag, shift=1, axis=0)
         new_m = ms + jnp.maximum(diag, b_st + tr_b_mk)
         new_i = is_ + jnp.maximum(m + tmi, i_st + tii)
-        a0 = pltpu.roll(new_m + tmd, shift=1, axis=0)
-        a = a0
-        for k in range(k_run):
+        a = pltpu.roll(new_m + tmd, shift=1, axis=0)
+        for k in range(n_chain):
             rolled = pltpu.roll(a, shift=1 << k, axis=0)
             a = jnp.maximum(a, rolled + chain_ref[:, k:k + 1])
 
         e_st = jnp.max(new_m, axis=0, keepdims=True)  # e_skip_d (exact)
         floor = jnp.maximum(new_m + tmm, new_i + tim)
-        if k_run < n_passes:
-            t_tail = (e_st + tmd_max) + aux  # [1, LANES]
-            viol_vec = (t_tail > a) & ((t_tail + tdm) > floor)
-            viol = jnp.any(viol_vec)
-            d_scratch[:, :] = a
-
-            @pl.when(viol)
-            def _():
-                af = d_scratch[:, :]
-                for k in range(k_run, n_passes):
-                    rolled = pltpu.roll(af, shift=1 << k, axis=0)
-                    af = jnp.maximum(af, rolled + chain_ref[:, k:k + 1])
-                d_scratch[:, :] = af
-
-            new_d = d_scratch[:, :]
-        else:
-            new_d = a
-        new_pd = jnp.maximum(floor, new_d + tdm)
+        new_pd = jnp.maximum(floor, a + tdm)
+        viol_vec = None
+        if want_cert:
+            # the rounding path of this bound mirrors the dropped
+            # passes' own (see docstring) — addition order matters
+            t_row = ((e_st + tmd_max) + cmax) + tdm  # [M_pad, LANES]
+            viol_vec = t_row > new_pd
 
         new_j = jnp.maximum(j_st + tr_loop, e_st + tr_e_j)
         new_c = jnp.maximum(c_st + tr_loop, e_st + tr_e_c)
@@ -1033,84 +1026,119 @@ def _p7_lazy_kernel(
             jnp.where(valid, new_c, c_st),
             jnp.where(valid, new_n, n_st),
             jnp.where(valid, new_b, b_st),
+        ), viol_vec
+
+    def write_carry(carry):
+        m, i_st, pd, j_st, c_st, n_st, b_st = carry
+        m_out_ref[:, :] = m
+        i_out_ref[:, :] = i_st
+        d_out_ref[:, :] = pd
+        s_out_ref[0:1, :] = j_st
+        s_out_ref[1:2, :] = c_st
+        s_out_ref[2:3, :] = n_st
+        s_out_ref[3:4, :] = b_st
+
+    def read_carry():
+        s = s_out_ref[:, :]
+        return (
+            m_out_ref[:, :], i_out_ref[:, :], d_out_ref[:, :],
+            s[0:1, :], s[1:2, :], s[2:3, :], s[3:4, :],
         )
 
-    def step(u, carry):
-        # batched emission select for the whole group: one MXU pass per
-        # split term instead of ``unroll`` small ones (see docstring).
-        # Per-step one-hot compares concatenate along lanes (a multi-row
-        # dynamic token load would need 8-sublane alignment Mosaic can't
-        # prove for unroll < 8)
-        onehot_g = jnp.concatenate(
-            [
-                (aa_iota == tokens_ref[pl.ds(u * unroll + k, 1), :]).astype(
-                    jnp.bfloat16
+    def run_chunk(n_chain, want_cert):
+        """Whole-chunk register-carried loop from the out-ref state."""
+        def step(u, carry):
+            if want_cert:
+                carry, vacc = carry
+            for k in range(unroll):
+                carry, vv = one_step(
+                    u * unroll + k, *carry, n_chain, want_cert
                 )
-                for k in range(unroll)
-            ],
-            axis=1,
-        )
-        ms_g = _select3(msc_parts, onehot_g)  # [M_pad, unroll*LANES]
-        is_g = _select3(isc_parts, onehot_g)
-        for k in range(unroll):
-            sl = slice(k * lanes, (k + 1) * lanes)
-            carry = one_step(
-                u * unroll + k, ms_g[:, sl], is_g[:, sl], *carry
-            )
-        return carry
+                if want_cert:
+                    vacc = vacc | vv
+            return (carry, vacc) if want_cert else carry
 
-    m, i_st, pd, j_st, c_st, n_st, b_st = jax.lax.fori_loop(
-        0, chunk_len // unroll, step,
-        (m0, i0, pd0, s0[0:1, :], s0[1:2, :], s0[2:3, :], s0[3:4, :]),
-    )
+        init = read_carry()
+        if want_cert:
+            init = (init, jnp.zeros((m_pad, lanes), jnp.bool_))
+        return jax.lax.fori_loop(0, chunk_len // unroll, step, init)
 
-    m_out_ref[:, :] = m
-    i_out_ref[:, :] = i_st
-    d_out_ref[:, :] = pd
-    s_out_ref[:, :] = jnp.concatenate([j_st, c_st, n_st, b_st], axis=0)
-    score_ref[:, :] = c_st + tr_move
+    if k_run >= n_passes:
+        # no truncation: the certificate-free A/B baseline (the eager
+        # schedule with the pre_diag carry)
+        write_carry(run_chunk(n_passes, False))
+    else:
+        carry, vacc = run_chunk(k_run, True)
+        viol = jnp.any(vacc)
+
+        # registers cannot be conditionally overwritten by pl.when, so
+        # the branch pair merges through the out-refs: the chunk's
+        # entry state is still in them (only these writes touch them)
+        @pl.when(jnp.logical_not(viol))
+        def _():
+            write_carry(carry)
+
+        @pl.when(viol)
+        def _():
+            write_carry(run_chunk(n_passes, False))
+
+    score_ref[:, :] = s_out_ref[1:2, :] + tr_move
 
 
 # auto-picked lazy window: smallest K whose dropped-pass constants damp
-# by at least this many nats below the best M cell — the spread
-# e_st - floor[j] across a live DP row (measured up to ~15 nats on
-# random sequences, tools/lazy_chain_lab.py) is what the certificate
-# must beat for the fallback to stay cold
-LAZY_TAIL_DAMP_NATS = 17.0
+# by at least this many nats below the best M cell. The v3 PER-ROW
+# certificate (Cmax_j, vs v1's global max) measures 0 fires at 12 nats
+# across the 100/500/1400/2405 profiles on random sequences
+# (tools/lazy_chain_lab.py v3 column); the repair granularity is a
+# whole 256-residue chunk x lane-block, so only a true-zero fire rate
+# keeps the fallback cold — pick conservatively, not at the measured
+# edge (2405 fires 0.02 %/lane-step one K lower)
+LAZY_TAIL_DAMP_NATS = 12.0
 
 
-def pick_lazy_window(p7: P7Profile, m_pad: int) -> int:
-    """Smallest chain window K with 2^K * |max(tdd)| >=
-    LAZY_TAIL_DAMP_NATS (measured-quiet certificate on random
-    sequences: 1400.hmm needs K=6, 2405 K=5 — tools/lazy_chain_lab.py);
-    full chain for profiles with non-damping (tdd >= 0) columns."""
-    full_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
-    finite = p7.tdd[np.isfinite(p7.tdd)]
-    tdd_max = float(finite.max()) if finite.size else 0.0
-    if tdd_max >= 0.0:
-        return full_passes
-    need = LAZY_TAIL_DAMP_NATS / -tdd_max
-    return int(np.clip(np.ceil(np.log2(max(need, 1.0))), 1, full_passes))
+def pick_lazy_window(chain_t: np.ndarray, trans_t: np.ndarray,
+                     n_passes: int) -> int:
+    """Smallest chain window K whose per-row certificate constant
+    ``max_j (Cmax_j(K) + tdm_j)`` damps by >= LAZY_TAIL_DAMP_NATS —
+    i.e. the bound the v3 certificate adds to e_st is at least that
+    far below the best M cell for EVERY row, so the fallback stays
+    cold unless the live pd gap exceeds it (measured-zero fire rates
+    at 12 nats on 100/500/1400/2405, tools/lazy_chain_lab.py). Full
+    chain when no window damps (e.g. tdd >= 0 columns)."""
+    tdm = trans_t[:, 5]
+    for k in range(1, n_passes):
+        cmax = chain_t[:, k:n_passes].max(axis=1)
+        if float((cmax + tdm).max()) <= -LAZY_TAIL_DAMP_NATS:
+            return k
+    return n_passes
 
 
 def prepare_p7_device_lazy(
     p7: P7Profile, m_pad: int | None = None, lazy_k: int | None = None
 ):
     """Host packing for the lazy exact Viterbi kernel: the standard
-    prepare_p7_device arrays with a widened SMEM const row
-    [tr_B_Mk, tr_E_C, tr_E_J, aux, tmd_max] where ``aux`` is the
-    largest finite chain constant of any DROPPED pass (>= every value
-    the dropped passes could add — the certificate's tail term) and
-    tmd_max bounds a0 via the E reduce. Returns (msc_t, isc_t, trans_t,
-    chain_t, consts5, lazy_k)."""
+    prepare_p7_device arrays with (a) chain_t column 15 holding the
+    per-row EXACT max over the DROPPED passes' chain constants (the
+    certificate's Cmax_j — a max of already-rounded f32 values, no
+    further rounding) and (b) a widened SMEM const row [tr_B_Mk,
+    tr_E_C, tr_E_J, aux, tmd_max] where tmd_max bounds max(a0) via the
+    E reduce (aux is the v1 global-tail slot, kept for layout
+    stability; the v3 kernel reads only tmd_max + column 15). Returns
+    (msc_t, isc_t, trans_t, chain_t, consts5, lazy_k)."""
     mr = p7.num_states
     m_pad = m_pad or _round_up(max(mr, 8), 8)
     msc_t, isc_t, trans_t, chain_t, _ = prepare_p7_device(p7, m_pad)
     n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+    assert n_passes <= 15, "chain_t col 15 is the certificate column"
     if lazy_k is None:
-        lazy_k = pick_lazy_window(p7, m_pad)
+        lazy_k = pick_lazy_window(chain_t, trans_t, n_passes)
     lazy_k = min(max(lazy_k, 1), n_passes)
 
+    chain_t = np.array(chain_t, copy=True)
+    if lazy_k < n_passes:
+        chain_t[:, 15] = chain_t[:, lazy_k:n_passes].max(axis=1)
+    else:
+        chain_t[:, 15] = NEG_INF
     dropped = chain_t[:, lazy_k:n_passes]
     finite = dropped[np.isfinite(dropped)]
     finite = finite[finite > NEG_INF / 2]

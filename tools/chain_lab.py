@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--windows", default="1,2,3,4,5,6,8,11")
     ap.add_argument("--lazy", default="", help="lazy_k values to time, e.g. 5,6,7")
     ap.add_argument("--skip-exact", action="store_true")
+    ap.add_argument("--unroll", type=int, default=0,
+                    help="force the step unroll (0 = pick_p7_unroll)")
     args = ap.parse_args()
 
     print(f"# devices: {jax.devices()}", flush=True)
@@ -76,6 +78,9 @@ def main():
     tokens_d = jnp.asarray(tokens_t)
     lengths_d = jnp.asarray(lengths_p)
     tr_rows_d = jnp.asarray(tr_rows)
+
+    if args.unroll:
+        pp.pick_p7_unroll = lambda m_pad, l_chunk, base: args.unroll
 
     # lane-width override
     orig_pick = pm.pick_lanes

@@ -75,7 +75,18 @@ def measure(p7: P7Profile, tokens: np.ndarray, ks=(1, 2, 3, 4, 5, 6)):
     tmd_max = float(tmd_fin.max()) if tmd_fin.size else float(NEG)
 
     kmax = max(ks)
-    consts = chain_consts(tdd_s, mr, kmax)
+    n_passes = max(1, int(np.ceil(np.log2(max(mr, 2)))))
+    consts_full = chain_consts(tdd_s, mr, n_passes)
+    consts = consts_full[:, :kmax]
+    # v3 per-row certificate: Cmax_j = exact max over DROPPED passes'
+    # constants at row j (kernel chain_t col 15)
+    cmax_rows = {
+        K: (
+            consts_full[:, K:n_passes].max(axis=1)
+            if K < n_passes else np.full(mr, NEG, dtype=np.float32)
+        )
+        for K in ks
+    }
     col = lambda v: np.nan_to_num(v, neginf=NEG)[:, None].astype(np.float32)
     tmm_c, tmi_c, tmd_c = col(tmm), col(tmi), col(tmd)
     tim_c, tii_c, tdm_c = col(tim), col(tii), col(tdm)
@@ -96,6 +107,7 @@ def measure(p7: P7Profile, tokens: np.ndarray, ks=(1, 2, 3, 4, 5, 6)):
     viol_steps = {k: 0 for k in ks}
     viol_steps_loose = {k: 0 for k in ks}
     viol_elems = {k: 0 for k in ks}
+    viol_steps_v3 = {k: 0 for k in ks}
 
     for t in range(L):
         tok = tokens[:, t]
@@ -129,6 +141,13 @@ def measure(p7: P7Profile, tokens: np.ndarray, ks=(1, 2, 3, 4, 5, 6)):
                 viol_steps[K] += int(v.any(axis=0).sum())
                 viol_steps_loose[K] += int(vl.any(axis=0).sum())
                 viol_elems[K] += int(v.sum())
+                # v3: per-row Cmax, compared against new_pd
+                new_pd = np.maximum(floor, a + tdm_c)
+                t_row = (
+                    (e_st[None, :] + np.float32(tmd_max))
+                    + cmax_rows[K][:, None]
+                ) + tdm_c
+                viol_steps_v3[K] += int((t_row > new_pd).any(axis=0).sum())
         new_d = a
         # finish the chain exactly for the actual recurrence
         k = kmax
@@ -152,6 +171,7 @@ def measure(p7: P7Profile, tokens: np.ndarray, ks=(1, 2, 3, 4, 5, 6)):
             viol_steps[k] / lane_steps,
             viol_steps_loose[k] / lane_steps,
             viol_elems[k] / (lane_steps * mr),
+            viol_steps_v3[k] / lane_steps,
         )
         for k in ks
     }
@@ -168,9 +188,9 @@ def main():
         print(f"== {name}.hmm M={p7.num_states} tdd_max={tdd_fin.max():.4f} "
               f"tmd_max={p7.tmd[np.isfinite(p7.tmd)].max():.4f}")
         rates = measure(p7, rand_tokens)
-        for k, (tight, loose, elem) in rates.items():
+        for k, (tight, loose, elem, v3) in rates.items():
             print(f"  K={k}: viol/lane-step tight={tight:.4%} "
-                  f"loose={loose:.4%} elem={elem:.3e}")
+                  f"loose={loose:.4%} elem={elem:.3e} v3={v3:.4%}")
 
 
 if __name__ == "__main__":
