@@ -278,6 +278,23 @@ def test_lazy_viterbi_bitwise_equals_full(p7_100, p7_200):
             np.testing.assert_array_equal(lazy, full)
         np.testing.assert_allclose(full, want, atol=1e-4, rtol=0)
 
+        # multi-chunk: l_chunk=64 -> 3 grid chunks; exercises the
+        # chunk-level replay merging through the out-ref carry at each
+        # chunk boundary (v3 repairs a WHOLE chunk at a time)
+        full_mc = np.asarray(
+            viterbi_pallas(
+                p7, tokens, lengths, l_chunk=64, interpret=True, lazy=False
+            )
+        )
+        np.testing.assert_array_equal(full_mc, full)
+        for k in (1, None):
+            lazy_mc = np.asarray(
+                viterbi_pallas(
+                    p7, tokens, lengths, l_chunk=64, interpret=True, lazy_k=k
+                )
+            )
+            np.testing.assert_array_equal(lazy_mc, full)
+
 
 def test_lazy_viterbi_weak_damping_profile():
     """A profile with near-free deletions (tdd ~ log 0.98) makes long

@@ -84,6 +84,14 @@ def main() -> int:
             gv = np.asarray(sc.scan_p7(p7, staged, stage="viterbi"))[:3]
             e_vit = err_of(gv, wv)
             worst["vit"] = max(worst["vit"], e_vit)
+            # round 3: the lazily-certified truncated-chain kernel must
+            # be BITWISE equal to the eager full chain ON CHIP (the
+            # interpret-mode tests cannot see Mosaic codegen)
+            from hmm_fasta_viterbi_tpu.ops.pallas_p7 import viterbi_pallas
+
+            lz = np.asarray(viterbi_pallas(p7, tokens, lengths, lazy=True))
+            eg = np.asarray(viterbi_pallas(p7, tokens, lengths, lazy=False))
+            violations += int((lz != eg).sum())
             wf = forward_oracle_batch(p7, tokens[:3], lengths[:3])
             gf = np.asarray(sc.scan_p7(p7, staged, stage="forward"))[:3]
             e_fwd = err_of(gf, wf)
