@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-3 on-chip measurement campaign. Run when the TPU tunnel is live.
+# Each stage logs to /tmp/r3_<stage>.log; a failed stage does not stop
+# the rest (the tunnel can flake mid-campaign).
+set -u
+cd /root/repo
+LOG=/tmp
+run() {
+  name=$1; shift
+  echo "=== $name: $* ($(date +%H:%M:%S))"
+  timeout 2400 "$@" >"$LOG/r3_${name}.log" 2>&1
+  echo "--- $name exit=$? ($(date +%H:%M:%S))"
+}
+
+# 0. tiny probe so a wedged tunnel fails fast
+run probe python -c "import jax,numpy as np; print(np.asarray(jax.numpy.ones((8,8)).sum()))"
+
+# 1. lazy exact Viterbi: eager baseline + lazy K sweep (headline M=1400)
+run chain1400 python tools/chain_lab.py --m 1400 --lazy 3,4,5,6 --windows 4 --reps 5
+# 2. other profile sizes at the auto-picked K (0 = pick_lazy_window)
+run chain2405 python tools/chain_lab.py --m 2405 --lazy 4,5,6 --windows 4 --reps 3
+run chain100 python tools/chain_lab.py --m 100 --lazy 3,4,5 --windows 4 --reps 3
+# 3. posterior decode lab (bench shape + headline-L)
+run post python tools/post_lab.py --reps 5
+run post3500 python tools/post_lab.py --seq-len 3500 --batch 128 --reps 3
+# 4. hardware parity campaign (24 profiles, lazy-vs-eager bitwise)
+run validate python tools/validate_hw.py
+# 5. full default bench -> the round's JSON artifact
+run bench python bench.py
+
+echo "CAMPAIGN_DONE"
