@@ -150,6 +150,35 @@ def bench_profile(
     )
 
 
+def env_fingerprint() -> dict:
+    """Environment identity recorded in each bench artifact.
+
+    Cross-round perf swings on the shared remote-TPU tunnel are common
+    (round-2's 10% MSV-filter "regression" was tunnel variance); stamping
+    the device/runtime identity and wall-clock makes artifacts
+    self-documenting when numbers are compared across rounds."""
+    import datetime
+    import platform
+
+    info = {
+        "timestamp_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "hostname": platform.node(),
+    }
+    try:
+        import jax
+
+        dev = jax.devices()[0]
+        info["jax_version"] = jax.__version__
+        info["device_kind"] = getattr(dev, "device_kind", str(dev))
+        info["platform"] = dev.platform
+        info["num_devices"] = jax.device_count()
+    except Exception as exc:  # pragma: no cover - device probe best-effort
+        info["device_error"] = repr(exc)
+    return info
+
+
 def emit_json_line(
     primary: BenchResult,
     extras: list[BenchResult],
@@ -168,6 +197,7 @@ def emit_json_line(
             "primary": primary.to_json(),
             "extras": [e.to_json() for e in extras],
             "errors": errors or [],
+            "env": env_fingerprint(),
             "baseline_anchor": "1 GCUPS == 14.7 ms per reference 1400-profile pass (BASELINE.md)",
         },
     }

@@ -173,3 +173,25 @@ def test_section_timer():
         pass
     report = t.report()
     assert "a=" in report and "b=" in report
+
+
+def test_bench_json_line_schema():
+    """The driver-facing bench line carries per-rep seconds and an
+    environment fingerprint (round-3: cross-round variance on the shared
+    TPU tunnel must be attributable from the artifact alone)."""
+    from hmm_fasta_viterbi_tpu.bench.harness import BenchResult, emit_json_line
+
+    r = BenchResult(
+        name="unit", gcups=1.0, seconds=0.5, cells=500_000_000, batch=4,
+        seq_len=100, model_length=101, repetitions=2,
+        rep_seconds=[0.6, 0.5],
+    )
+    payload = json.loads(emit_json_line(r, [r], errors=["x failed"]))
+    assert payload["unit"] == "GCUPS"
+    detail = payload["detail"]
+    assert detail["primary"]["rep_seconds"] == [0.6, 0.5]
+    assert detail["errors"] == ["x failed"]
+    env = detail["env"]
+    assert "timestamp_utc" in env and "hostname" in env
+    # device probe is best-effort: either a resolved platform or an error
+    assert ("platform" in env) or ("device_error" in env)
