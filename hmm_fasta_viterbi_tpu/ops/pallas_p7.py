@@ -428,7 +428,7 @@ def _fwd_prob_kernel(
     modds_ref,  # [M_pad, 20] f32 VMEM match odds ratios (pad rows 0)
     iodds_ref,  # [M_pad, 20] f32 VMEM insert odds ratios (pad rows 0)
     trans_ref,  # [M_pad, 8] f32 VMEM transition PROBABILITIES (pad 0)
-    chain_ref,  # [M_pad, 16] f32 VMEM: tdd window PRODUCTS per pass
+    chain_ref,  # [M_pad, W] f32 VMEM: tdd window PRODUCTS, W = chain window
     tokens_ref,  # [L_CHUNK, LANES] int32
     lengths_ref,  # [1, LANES] int32
     tr_row_ref,  # [2, LANES] f32: tr_loop, tr_move (LOG space, final move)
@@ -475,7 +475,10 @@ def _fwd_prob_kernel(
     p_loop = tr_prob_ref[0:1, :]  # [1, LANES]
     p_move = tr_prob_ref[1:2, :]
     lengths = lengths_ref[0:1, :]
-    n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+    # the chain window is encoded in the chain array's column count
+    # (prepare_p7_device_prob trims the dropped passes — see
+    # pick_prob_chain_window for the truncation error bound)
+    n_passes = chain_ref.shape[1]
 
     @pl.when(l_idx == 0)
     def _():
@@ -1287,13 +1290,84 @@ def viterbi_filter_pallas(
     return score[:b]
 
 
+# Truncated prob-space delete chain (round 3): conservative workload
+# bound and target aggregate relative error for pick_prob_chain_window.
+PROB_CHAIN_L_MAX = 1.0e6
+PROB_CHAIN_REL_ERR = 1e-9
+
+
+def pick_prob_chain_window(p7: P7Profile, m_pad: int | None = None) -> int:
+    """Smallest Hillis-Steele window K whose truncation error is
+    provably invisible in the SUM-space (Forward / posterior) kernels.
+
+    Unlike the max-plus Viterbi chain (where one dropped D-run can win a
+    max outright and the lazy kernel needs a per-step certificate +
+    repair), the probability-space chain is a plain sum, so truncation
+    admits a deterministic aggregate bound: a run of length >= 2^K
+    contributes a0_i * (product of >= 2^K tdd probabilities); summing the
+    geometric tail over run lengths and rows, the mass dropped from one
+    step's E-sum is at most
+
+        e_st * Cmax_K / (1 - tdd_max)
+
+    with Cmax_K = max over rows of the dropped passes' window-product
+    constants (each dropped term's coefficient is one such product), and
+    e_st >= sum(new_m) >= max(a0)/tmd_max the step total it is measured
+    against. First-order error compounding through the recurrence is
+    additive, so the score's aggregate relative error is bounded by
+    L * Cmax_K / (1 - tdd_max). This picks the smallest K with
+
+        -log(Cmax_K) >= log(PROB_CHAIN_L_MAX / PROB_CHAIN_REL_ERR)
+                        - log1p(-tdd_max)
+
+    i.e. rel err <= 1e-9 for any sequence up to a million residues —
+    orders below the Forward tolerance (2e-3) and below f32 resolution,
+    and one-sided (truncation only ever underestimates). On the data
+    profiles this keeps 6 of 11-12 passes at M=1400/2405 (damping -47
+    nats) — the sum-space sibling of the lazy Viterbi window, needing no
+    in-kernel certificate at all."""
+    mr = p7.num_states
+    m_pad = m_pad or _round_up(max(mr, 8), 8)
+    n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+    # log-space per-pass window-sum constants (prepare_p7_device's
+    # recursion, f64 — this is an error bound, not kernel data)
+    tdd_s = np.concatenate(([np.float64(-np.inf)], p7.tdd[:-1].astype(np.float64)))
+    rows = np.arange(m_pad)
+    c_cur = np.full(m_pad, -np.inf)
+    c_cur[:mr] = tdd_s
+    chain_log = np.full((m_pad, n_passes), -np.inf)
+    for k in range(n_passes):
+        s = 1 << k
+        chain_log[:, k] = np.where(rows < s, -np.inf, c_cur)
+        with np.errstate(invalid="ignore"):
+            c_cur = c_cur + np.where(rows < s, 0.0, np.roll(c_cur, s))
+    fin = tdd_s[np.isfinite(tdd_s)]
+    if fin.size == 0:
+        return 1  # no D->D links anywhere: a single pass is exact
+    tdd_max_p = float(np.exp(fin.max()))
+    if tdd_max_p >= 1.0:
+        return n_passes  # degenerate profile: no damping to lean on
+    need = (
+        np.log(PROB_CHAIN_L_MAX / PROB_CHAIN_REL_ERR)
+        - np.log1p(-tdd_max_p)
+    )
+    for k in range(1, n_passes):
+        cmax = chain_log[:, k:n_passes].max()
+        if -cmax >= need:
+            return k
+    return n_passes
+
+
 def prepare_p7_device_prob(p7: P7Profile, m_pad: int | None = None):
     """Host packing for the probability-space Forward kernel:
     (modds_t, iodds_t, trans_probs_t, chain_prod_t, tr_consts_prob).
 
     Everything is a plain probability / odds ratio; 0 is the natural
     absorbing pad value (no -inf anywhere), and the delete-chain pass
-    constants are tdd window PRODUCTS with wrapped rows zeroed.
+    constants are tdd window PRODUCTS with wrapped rows zeroed. The
+    returned chain array carries exactly ``pick_prob_chain_window``
+    columns — the kernels run one pass per column, so the truncation
+    needs no plumbing (the window IS the array shape).
     """
     mr = p7.num_states
     m_pad = m_pad or _round_up(max(mr, 8), 8)
@@ -1314,14 +1388,16 @@ def prepare_p7_device_prob(p7: P7Profile, m_pad: int | None = None):
     for col, vec in enumerate(tprob):
         trans_t[:mr, col] = vec
 
-    # chain pass constants: window products of c_j = tdd[j-1]
-    chain_t = np.zeros((m_pad, 16), dtype=np.float32)
+    # chain pass constants: window products of c_j = tdd[j-1], trimmed
+    # to the provably-sufficient window (see pick_prob_chain_window)
     n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
     assert n_passes <= 16
+    window = pick_prob_chain_window(p7, m_pad)
+    chain_t = np.zeros((m_pad, window), dtype=np.float32)
     rows = np.arange(m_pad)
     c_cur = np.zeros(m_pad, dtype=np.float32)
     c_cur[1:mr] = tdd_p[: mr - 1]
-    for k in range(n_passes):
+    for k in range(window):
         s = 1 << k
         chain_t[:, k] = np.where(rows < s, np.float32(0.0), c_cur)
         c_cur = (c_cur * np.where(rows < s, np.float32(1.0), np.roll(c_cur, s))).astype(
@@ -1364,7 +1440,12 @@ def fwd_prob_pallas_call(
             pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, 8), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, 16), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
+            # chain block width = the truncated window (column count IS
+            # the pass count — prepare_p7_device_prob)
+            pl.BlockSpec(
+                (m_pad, chain_t.shape[1]), lambda b, l: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((l_chunk, lanes), lambda b, l: (l, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),

@@ -43,6 +43,7 @@ from .pallas_p7 import (
     _split3,
     length_transition_probs,
     pick_p7_unroll,
+    pick_prob_chain_window,
     prepare_p7_device_prob,
 )
 from ..models.msv import length_transitions
@@ -60,20 +61,24 @@ POST_HBM_BYTES = 3 << 30
 
 
 def prepare_suffix_chain(p7: P7Profile, m_pad: int | None = None) -> np.ndarray:
-    """[m_pad, 16] suffix-chain pass constants: window PRODUCTS of
+    """[m_pad, W] suffix-chain pass constants: window PRODUCTS of
     c_j = tdd[j] accumulated downward; pass k adds roll_up(a, 2^k) * C_k
-    with rows j >= m_pad - 2^k zeroed (wrapped rolls die)."""
+    with rows j >= m_pad - 2^k zeroed (wrapped rolls die).
+
+    W = pick_prob_chain_window — the same provably-sufficient truncated
+    window as the forward chain (the suffix constants are the same tdd
+    window products read from the other end, so the dropped-run mass
+    bound is identical); the kernels run one pass per column."""
     mr = p7.num_states
     m_pad = m_pad or _round_up(max(mr, 8), 8)
     with np.errstate(over="ignore"):
         tdd_p = np.exp(p7.tdd.astype(np.float64)).astype(np.float32)
-    chain = np.zeros((m_pad, 16), dtype=np.float32)
-    n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
-    assert n_passes <= 16
+    window = pick_prob_chain_window(p7, m_pad)
+    chain = np.zeros((m_pad, window), dtype=np.float32)
     rows = np.arange(m_pad)
     c_cur = np.zeros(m_pad, dtype=np.float32)
     c_cur[: mr] = tdd_p[: mr]  # kill_last already zeroed the final link
-    for k in range(n_passes):
+    for k in range(window):
         s = 1 << k
         dead = rows >= m_pad - s
         chain[:, k] = np.where(dead, np.float32(0.0), c_cur)
@@ -115,7 +120,7 @@ def _fwd_save_kernel(
     pk_e_c = tr_const_ref[0, 1]
     pk_e_j = tr_const_ref[0, 2]
     lengths = lengths_ref[0:1, :]
-    n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+    n_passes = chain_ref.shape[1]  # truncated window (column count)
 
     @pl.when(l_idx == 0)
     def _():
@@ -249,7 +254,7 @@ def _bwd_cov_kernel(
     pk_e_j = tr_const_ref[0, 2]
     lengths = lengths_ref[0:1, :]
     total = total_ref[0:1, :]
-    n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+    n_passes = schain_ref.shape[1]  # truncated window (column count)
 
     def suffix_chain(a):
         for k in range(n_passes):
@@ -409,7 +414,12 @@ def _posterior_padded(
         pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((m_pad, 8), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((m_pad, 16), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
+        # chain block width = the truncated window (column count IS the
+        # pass count — prepare_p7_device_prob / prepare_suffix_chain)
+        pl.BlockSpec(
+            (m_pad, chain_t.shape[1]), lambda b, l: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
     ]
     tok_spec = pl.BlockSpec(
         (l_chunk, lanes), lambda b, l: (l, b), memory_space=pltpu.VMEM
@@ -468,7 +478,10 @@ def _posterior_padded(
         functools.partial(_bwd_cov_kernel, unroll=unroll),
         grid=(num_b, num_l),
         in_specs=prof_specs[:3] + [
-            pl.BlockSpec((m_pad, 16), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (m_pad, schain_t.shape[1]), lambda b, l: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             tok_rev, row_spec, probs_spec, smem_spec, row_spec,
             fm_rev, ls_rev,
             carry_spec, carry_spec, s_spec,

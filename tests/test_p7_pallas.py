@@ -325,3 +325,45 @@ def test_lazy_viterbi_weak_damping_profile():
     np.testing.assert_array_equal(lazy, full)
     want = viterbi_oracle_batch(p7, tokens, lengths)
     np.testing.assert_allclose(lazy, want, atol=1e-4, rtol=0)
+
+
+def test_prob_chain_truncation_invisible(profile_dir, monkeypatch):
+    """Round 3: the prob-space delete chain runs only
+    pick_prob_chain_window passes (the window is the chain array's
+    column count). The truncation bound says dropped-run mass is
+    < 1e-9 relative even over 1e6 residues — so scores must match the
+    full-chain kernel to within trace-order noise, far inside FWD_TOL."""
+    from hmm_fasta_viterbi_tpu.ops import pallas_p7 as pp
+
+    p7 = P7Profile.from_profile(parse_hmm(profile_dir / "300.hmm"))
+    m_pad = pp._round_up(p7.num_states, 8)
+    n_passes = int(np.ceil(np.log2(m_pad)))
+    window = pp.pick_prob_chain_window(p7)
+    assert 1 <= window < n_passes  # this data profile actually truncates
+
+    tokens, lengths = _ragged(seed=11)
+    trunc = np.asarray(
+        forward_pallas(p7, tokens, lengths, interpret=True, prob_space=True)
+    )
+    with monkeypatch.context() as m:
+        m.setattr(pp, "pick_prob_chain_window", lambda p7, m_pad=None: n_passes)
+        full = np.asarray(
+            forward_pallas(p7, tokens, lengths, interpret=True, prob_space=True)
+        )
+    np.testing.assert_allclose(trunc, full, atol=1e-5, rtol=0)
+
+
+def test_prob_chain_window_per_profile(profile_dir):
+    """The picked window saves passes on the damped data profiles and
+    falls back to the full chain where damping is too weak (200.hmm)."""
+    from hmm_fasta_viterbi_tpu.ops import pallas_p7 as pp
+
+    for name in ("100", "500", "1400", "2405"):
+        p7 = P7Profile.from_profile(parse_hmm(profile_dir / f"{name}.hmm"))
+        m_pad = pp._round_up(max(p7.num_states, 8), 8)
+        n_passes = max(1, int(np.ceil(np.log2(m_pad))))
+        w = pp.pick_prob_chain_window(p7)
+        assert 1 <= w < n_passes, (name, w, n_passes)
+
+    weak = P7Profile.from_profile(parse_hmm(profile_dir / "200.hmm"))
+    assert pp.pick_prob_chain_window(weak) == 8  # == n_passes: no cut
