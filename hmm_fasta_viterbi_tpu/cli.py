@@ -421,11 +421,14 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
                    interpret: bool = False, mesh=None) -> None:
     out = out if out is not None else sys.stdout
     want_domains = bool(getattr(args, "domains", False)) and tokens is not None
-    p7 = None
-    if want_domains:
+    want_align = bool(getattr(args, "align", False)) and tokens is not None
+    p7 = p7_align = None
+    if want_domains or want_align:
         from .models.p7 import P7Profile
 
-        p7 = P7Profile.from_profile(hmm)
+        p7_align = P7Profile.from_profile(hmm)
+        if want_domains:
+            p7 = p7_align
     order = np.flatnonzero(result.passed_msv)
     order = order[np.argsort(-np.nan_to_num(result.forward_scores[order], nan=-np.inf))]
     envelopes = (
@@ -471,6 +474,24 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
                 }
                 for k, (f, t) in enumerate(segs)
             ]
+        if want_align and result.passed_forward[i]:
+            # host-side Viterbi traceback per reported hit (the chips
+            # scan millions; the few survivors get O(L*M) NumPy
+            # alignments — ops.traceback)
+            from .ops.traceback import domain_alignments
+
+            _, doms = domain_alignments(
+                p7_align, tokens[i, : int(lengths[i])]
+            )
+            row["alignments"] = [
+                {
+                    "seq_from": d.seq_from, "seq_to": d.seq_to,
+                    "hmm_from": d.hmm_from, "hmm_to": d.hmm_to,
+                    "model": d.model_line, "match": d.match_line,
+                    "aseq": d.seq_line,
+                }
+                for d in doms
+            ]
         rows.append(row)
     if args.format == "json":
         if rows_sink is not None:
@@ -498,6 +519,27 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
                     f"\t{r.get('ndom', '')}\t{doms}"
                 )
             out.write(line + "\n")
+        if want_align:
+            from .ops.traceback import DomainAlignment, format_alignment
+
+            for r in rows:
+                for k, a in enumerate(r.get("alignments", [])):
+                    out.write(
+                        f"\n== {r['target']} domain {k + 1} "
+                        f"[hmm {a['hmm_from']}-{a['hmm_to']} / "
+                        f"seq {a['seq_from']}-{a['seq_to']}]\n"
+                    )
+                    out.write(
+                        format_alignment(
+                            DomainAlignment(
+                                a["seq_from"], a["seq_to"],
+                                a["hmm_from"], a["hmm_to"],
+                                a["model"], a["match"], a["aseq"],
+                            ),
+                            hmm.name, r["target"],
+                        )
+                        + "\n"
+                    )
 
 
 def cmd_sweep(args) -> int:
@@ -650,6 +692,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--domains",
         action="store_true",
         help="search stage: posterior-decode an alignment envelope per hit",
+    )
+    scan.add_argument(
+        "--align",
+        action="store_true",
+        help="search stage: report per-domain Viterbi alignments "
+        "(host-side traceback of each hit)",
     )
     scan.add_argument(
         "--bucketed",

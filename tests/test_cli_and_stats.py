@@ -293,3 +293,42 @@ def test_cli_mesh_sp_sweep(profile_dir, fasta_dir, capsys):
     assert len(sp_rows) == len(plain_rows) == 8
     for r in sp_rows:
         assert r["score_nats"] == pytest.approx(by_key[key(r)], abs=1e-4)
+
+
+def test_cli_search_align(tmp_path, profile_dir, capsys):
+    """--align reports per-domain Viterbi alignments for hits (round 3:
+    host-side traceback, ops.traceback) in both JSON and text formats."""
+    from conftest import consensus_tokens
+    from hmm_fasta_viterbi_tpu.io.alphabet import decode_sequence
+
+    hmm = __import__("hmm_fasta_viterbi_tpu").parse_hmm(
+        profile_dir / "100.hmm"
+    )
+    rng = np.random.default_rng(5)
+    fasta = tmp_path / "db.fsa"
+    seqs = [
+        decode_sequence(consensus_tokens(hmm, repeats=2, spacer=25)),
+        decode_sequence(rng.integers(0, 20, size=150)),
+    ]
+    fasta.write_text("".join(f">seq{i}\n{s}\n" for i, s in enumerate(seqs)))
+    args = [
+        "scan", "--hmm", str(profile_dir / "100.hmm"),
+        "--fasta", str(fasta), "--stage", "search",
+        "--backend", "xla", "--align",
+    ]
+    assert main(args + ["--format", "json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    hit = next(r for r in rows if r["hit"])
+    alns = hit["alignments"]
+    assert len(alns) == 2  # two consensus repeats -> two domains
+    for a in alns:
+        assert a["hmm_from"] >= 1 and a["hmm_to"] <= hmm.model_length - 1
+        assert len(a["model"]) == len(a["match"]) == len(a["aseq"])
+        # emitted residues reconstruct the sequence slice
+        res = a["aseq"].replace("-", "").upper()
+        assert len(res) == a["seq_to"] - a["seq_from"] + 1
+    assert alns[0].get("seq_to", 0) < alns[1].get("seq_from", 10**9)
+
+    assert main(args + ["--format", "tsv"]) == 0
+    text = capsys.readouterr().out
+    assert "domain 1" in text and "domain 2" in text
