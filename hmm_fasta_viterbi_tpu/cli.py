@@ -651,6 +651,55 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_align(args) -> int:
+    """hmmalign-shaped utility: Viterbi-align EVERY sequence of a FASTA
+    to one profile (no cascade/thresholds — use `scan --stage search
+    --align` for hit-gated reports). Pure host path: alignment is
+    per-sequence argmax bookkeeping, which belongs on the CPU
+    (ops.traceback module docstring)."""
+    from .io.hmmio import parse_hmm as _parse
+    from .models.p7 import P7Profile
+    from .ops.traceback import domain_alignments, format_alignment
+
+    hmm = _parse(args.hmm)
+    p7 = P7Profile.from_profile(hmm)
+    db = load_fasta(args.fasta, prefer=args.loader)
+    tokens, lengths = db.encode()
+    rows = []
+    with _out_sink(args) as sink:
+        out = sink if sink is not None else sys.stdout
+        for i in range(len(db)):
+            name = db.records[i].header or f"seq{i}"
+            score, doms = domain_alignments(p7, tokens[i, : int(lengths[i])])
+            if args.format == "json":
+                rows.append({
+                    "target": name,
+                    "profile": hmm.name,
+                    "viterbi_nats": round(score, 4) if np.isfinite(score) else None,
+                    "alignments": [
+                        {
+                            "seq_from": d.seq_from, "seq_to": d.seq_to,
+                            "hmm_from": d.hmm_from, "hmm_to": d.hmm_to,
+                            "model": d.model_line, "match": d.match_line,
+                            "aseq": d.seq_line,
+                        }
+                        for d in doms
+                    ],
+                })
+            else:
+                for k, d in enumerate(doms):
+                    out.write(
+                        f"== {name} domain {k + 1} "
+                        f"[hmm {d.hmm_from}-{d.hmm_to} / "
+                        f"seq {d.seq_from}-{d.seq_to}]\n"
+                    )
+                    out.write(format_alignment(d, hmm.name, name) + "\n")
+        if args.format == "json":
+            json.dump(rows, out, indent=1)
+            out.write("\n")
+    return 0
+
+
 def cmd_generate(args) -> int:
     # lazily import: tools/ is not a package
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tools"))
@@ -738,6 +787,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     _add_common(sweep)
     sweep.set_defaults(fn=cmd_sweep)
+
+    aln = sub.add_parser(
+        "align", help="Viterbi-align every FASTA sequence to one profile"
+    )
+    aln.add_argument("--hmm", required=True, help="HMMER3 .hmm profile")
+    aln.add_argument("--fasta", required=True, help="protein FASTA")
+    aln.add_argument("--format", default="tsv", choices=["tsv", "json"])
+    aln.add_argument("--out", default=None)
+    aln.add_argument(
+        "--loader", default="auto", choices=["auto", "native", "python"]
+    )
+    aln.set_defaults(fn=cmd_align)
 
     gen = sub.add_parser("generate", help="generate a random protein FASTA corpus")
     gen.add_argument("--out", default="random_FASTA.fsa")

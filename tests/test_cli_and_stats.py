@@ -332,3 +332,29 @@ def test_cli_search_align(tmp_path, profile_dir, capsys):
     assert main(args + ["--format", "tsv"]) == 0
     text = capsys.readouterr().out
     assert "domain 1" in text and "domain 2" in text
+
+
+def test_cli_align_subcommand(tmp_path, profile_dir, capsys):
+    """`align` (hmmalign-shaped): Viterbi-aligns every sequence, no
+    thresholds; consensus aligns as identities over the full model."""
+    from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+    from hmm_fasta_viterbi_tpu.ops.traceback import consensus_string
+
+    hmm = __import__("hmm_fasta_viterbi_tpu").parse_hmm(
+        profile_dir / "100.hmm"
+    )
+    cons = consensus_string(P7Profile.from_profile(hmm))
+    fasta = tmp_path / "db.fsa"
+    fasta.write_text(f">hitseq\n{cons}\n")
+    args = ["align", "--hmm", str(profile_dir / "100.hmm"),
+            "--fasta", str(fasta)]
+    assert main(args + ["--format", "json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows[0]["target"] == "hitseq"
+    a = rows[0]["alignments"][0]
+    assert (a["hmm_from"], a["hmm_to"]) == (1, hmm.model_length - 1)
+    assert a["aseq"].upper().replace("-", "") == cons
+
+    assert main(args) == 0  # tsv renders blocks
+    out = capsys.readouterr().out
+    assert "hitseq" in out and "domain 1" in out
