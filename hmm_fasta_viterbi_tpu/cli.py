@@ -230,6 +230,9 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
         # residue blocks sharded over sp (+ batch over db): the
         # wavefront pipeline, for sequences too long for one chip
         logger.info("sp wavefront mesh: %s", dict(sp_mesh.shape))
+        if getattr(args, "bucketed", False):
+            logger.error("--bucketed does not compose with --mesh sp>1")
+            return 2
         if args.stage == "msv":
             from .parallel.seqblocks import msv_scan_seqblocks_pallas
 
@@ -248,6 +251,15 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
         else:  # search: the full cascade with every stage wavefronted
             from .parallel.seqblocks import SeqblockScanner
 
+            # the wavefront scanner has no bf16-prefilter / fused
+            # variants — reject rather than silently running the plain
+            # cascade under a flag the user asked for
+            for flag in ("fast", "fused"):
+                if getattr(args, flag, False):
+                    logger.error(
+                        "--%s does not compose with --mesh sp>1", flag
+                    )
+                    return 2
             sb = SeqblockScanner(sp_mesh, interpret=scanner.interpret)
             pipeline = _make_pipeline(args, sb)
             staged = sb.stage(tokens, lengths)
@@ -478,20 +490,12 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
             # host-side Viterbi traceback per reported hit (the chips
             # scan millions; the few survivors get O(L*M) NumPy
             # alignments — ops.traceback)
-            from .ops.traceback import domain_alignments
+            from .ops.traceback import alignment_row, domain_alignments
 
             _, doms = domain_alignments(
                 p7_align, tokens[i, : int(lengths[i])]
             )
-            row["alignments"] = [
-                {
-                    "seq_from": d.seq_from, "seq_to": d.seq_to,
-                    "hmm_from": d.hmm_from, "hmm_to": d.hmm_to,
-                    "model": d.model_line, "match": d.match_line,
-                    "aseq": d.seq_line,
-                }
-                for d in doms
-            ]
+            row["alignments"] = [alignment_row(d) for d in doms]
         rows.append(row)
     if args.format == "json":
         if rows_sink is not None:
@@ -520,7 +524,7 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
                 )
             out.write(line + "\n")
         if want_align:
-            from .ops.traceback import DomainAlignment, format_alignment
+            from .ops.traceback import format_alignment
 
             for r in rows:
                 for k, a in enumerate(r.get("alignments", [])):
@@ -530,15 +534,7 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
                         f"seq {a['seq_from']}-{a['seq_to']}]\n"
                     )
                     out.write(
-                        format_alignment(
-                            DomainAlignment(
-                                a["seq_from"], a["seq_to"],
-                                a["hmm_from"], a["hmm_to"],
-                                a["model"], a["match"], a["aseq"],
-                            ),
-                            hmm.name, r["target"],
-                        )
-                        + "\n"
+                        format_alignment(a, hmm.name, r["target"]) + "\n"
                     )
 
 
@@ -657,11 +653,14 @@ def cmd_align(args) -> int:
     --align` for hit-gated reports). Pure host path: alignment is
     per-sequence argmax bookkeeping, which belongs on the CPU
     (ops.traceback module docstring)."""
-    from .io.hmmio import parse_hmm as _parse
     from .models.p7 import P7Profile
-    from .ops.traceback import domain_alignments, format_alignment
+    from .ops.traceback import (
+        alignment_row,
+        domain_alignments,
+        format_alignment,
+    )
 
-    hmm = _parse(args.hmm)
+    hmm = load_profile(args.hmm, prefer=args.loader)
     p7 = P7Profile.from_profile(hmm)
     db = load_fasta(args.fasta, prefer=args.loader)
     tokens, lengths = db.encode()
@@ -676,15 +675,7 @@ def cmd_align(args) -> int:
                     "target": name,
                     "profile": hmm.name,
                     "viterbi_nats": round(score, 4) if np.isfinite(score) else None,
-                    "alignments": [
-                        {
-                            "seq_from": d.seq_from, "seq_to": d.seq_to,
-                            "hmm_from": d.hmm_from, "hmm_to": d.hmm_to,
-                            "model": d.model_line, "match": d.match_line,
-                            "aseq": d.seq_line,
-                        }
-                        for d in doms
-                    ],
+                    "alignments": [alignment_row(d) for d in doms],
                 })
             else:
                 for k, d in enumerate(doms):

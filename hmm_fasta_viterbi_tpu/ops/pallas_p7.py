@@ -1132,15 +1132,20 @@ def prepare_p7_device_lazy(
     m_pad = m_pad or _round_up(max(mr, 8), 8)
     msc_t, isc_t, trans_t, chain_t, _ = prepare_p7_device(p7, m_pad)
     n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
-    assert n_passes <= 15, "chain_t col 15 is the certificate column"
-    if lazy_k is None:
+    if n_passes > 15:
+        # chain_t col 15 is the certificate column; at m_pad > 32768 all
+        # 16 columns are chain passes, so no truncated window exists —
+        # degrade to the certificate-free full chain (lazy_k == n_passes
+        # selects the eager schedule inside _p7_lazy_kernel)
+        lazy_k = n_passes
+    elif lazy_k is None:
         lazy_k = pick_lazy_window(chain_t, trans_t, n_passes)
     lazy_k = min(max(lazy_k, 1), n_passes)
 
     chain_t = np.array(chain_t, copy=True)
     if lazy_k < n_passes:
         chain_t[:, 15] = chain_t[:, lazy_k:n_passes].max(axis=1)
-    else:
+    elif n_passes <= 15:  # at 16 passes col 15 is real chain data
         chain_t[:, 15] = NEG_INF
     dropped = chain_t[:, lazy_k:n_passes]
     finite = dropped[np.isfinite(dropped)]

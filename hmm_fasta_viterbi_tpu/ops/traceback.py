@@ -56,6 +56,12 @@ class DomainAlignment:
         return len(self.seq_line)
 
 
+# hard ceiling on the stored-rows DP footprint (3 x f64 [L+1, mr]);
+# alignment targets reported hits, not genome-scale scans — past this,
+# fail with guidance instead of swap-thrashing the host
+TRACEBACK_MAX_GIB = 8.0
+
+
 def _viterbi_rows(p7, tokens: np.ndarray):
     """Forward sweep storing every DP row (f64).
 
@@ -67,6 +73,14 @@ def _viterbi_rows(p7, tokens: np.ndarray):
     tokens = np.asarray(tokens)
     seq_len = int(tokens.shape[0])
     mr = p7.num_states
+    gib = 3 * 8 * (seq_len + 1) * max(mr, 1) / 2**30
+    if gib > TRACEBACK_MAX_GIB:
+        raise MemoryError(
+            f"viterbi traceback needs ~{gib:.1f} GiB of DP rows for "
+            f"L={seq_len}, M={mr} (limit {TRACEBACK_MAX_GIB}); align the "
+            "posterior envelope subsequence (--domains env_from/env_to) "
+            "instead of the full-length sequence"
+        )
     tr_loop, tr_move = length_transitions(seq_len)
     tr_loop = float(tr_loop)
     tr_move = float(tr_move)
@@ -254,10 +268,29 @@ def domain_alignments(p7, tokens: np.ndarray) -> tuple[float, list[DomainAlignme
     return score, domains
 
 
+def alignment_row(dom: DomainAlignment) -> dict:
+    """The JSON-serializable form of one domain alignment (the inverse
+    mapping is accepted by :func:`format_alignment`)."""
+    return {
+        "seq_from": dom.seq_from, "seq_to": dom.seq_to,
+        "hmm_from": dom.hmm_from, "hmm_to": dom.hmm_to,
+        "model": dom.model_line, "match": dom.match_line,
+        "aseq": dom.seq_line,
+    }
+
+
 def format_alignment(
-    dom: DomainAlignment, name: str, seq_id: str, width: int = 60
+    dom: "DomainAlignment | dict", name: str, seq_id: str, width: int = 60
 ) -> str:
-    """hmmsearch-style wrapped alignment block for one domain."""
+    """hmmsearch-style wrapped alignment block for one domain (accepts
+    the dataclass or its :func:`alignment_row` dict form)."""
+    if isinstance(dom, dict):
+        dom = DomainAlignment(
+            seq_from=dom["seq_from"], seq_to=dom["seq_to"],
+            hmm_from=dom["hmm_from"], hmm_to=dom["hmm_to"],
+            model_line=dom["model"], match_line=dom["match"],
+            seq_line=dom["aseq"],
+        )
     lines = []
     hp, sp_ = dom.hmm_from, dom.seq_from
     for off in range(0, dom.n_columns, width):

@@ -210,6 +210,7 @@ def make_db_p7_filter_scanner(
     return jax.jit(mapped)
 
 
+@functools.lru_cache(maxsize=32)
 def make_db_posterior_scanner(
     mesh: Mesh, interpret: bool = False, lanes: int = 128
 ):

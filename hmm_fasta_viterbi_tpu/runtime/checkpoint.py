@@ -75,13 +75,18 @@ class ScanCheckpoint:
 
 def _check_manifest(checkpoint: ScanCheckpoint, meta: dict) -> None:
     manifest = checkpoint.read_manifest()
-    if manifest is not None and any(
-        manifest.get(k) != meta[k] for k in ("num_sequences", "shard_size", "kind")
-    ):
-        raise ValueError(
-            "checkpoint directory belongs to a different partition: "
-            f"{manifest} vs {meta}"
-        )
+    if manifest is not None:
+        # manifests written before the search sweep existed carry no
+        # 'kind'; they are msv sweeps — resuming them must keep working
+        manifest.setdefault("kind", "msv")
+        if any(
+            manifest.get(k) != meta[k]
+            for k in ("num_sequences", "shard_size", "kind")
+        ):
+            raise ValueError(
+                "checkpoint directory belongs to a different partition: "
+                f"{manifest} vs {meta}"
+            )
     checkpoint.write_manifest(meta)
 
 
@@ -179,6 +184,7 @@ def resumable_search_sweep(
         },
     )
 
+    done: dict[tuple, dict] = {}
     for shard in range(num_shards):
         lo, hi = shard * shard_size, min((shard + 1) * shard_size, b)
         todo = [h for h in hmms if not checkpoint.is_done(h.name, shard)]
@@ -189,10 +195,9 @@ def resumable_search_sweep(
         staged = pipeline.scanner.stage(shard_tokens, shard_lengths)
         for hmm in todo:
             result = pipeline.search(hmm, staged, shard_tokens, shard_lengths)
-            checkpoint.save_arrays(
-                hmm.name, shard,
-                **{f: getattr(result, f) for f in _SEARCH_FIELDS},
-            )
+            arrays = {f: getattr(result, f) for f in _SEARCH_FIELDS}
+            checkpoint.save_arrays(hmm.name, shard, **arrays)
+            done[(hmm.name, shard)] = arrays
             logger.info(
                 "checkpointed search %s shard %d/%d",
                 hmm.name, shard + 1, num_shards,
@@ -200,8 +205,11 @@ def resumable_search_sweep(
 
     results = {}
     for hmm in hmms:
+        # chunks computed this run assemble from memory; only chunks
+        # completed by a PREVIOUS run are read back from disk
         chunks = [
-            checkpoint.load_arrays(hmm.name, s) for s in range(num_shards)
+            done.get((hmm.name, s)) or checkpoint.load_arrays(hmm.name, s)
+            for s in range(num_shards)
         ]
         results[hmm.name] = SearchResult(
             **{

@@ -195,3 +195,29 @@ def test_bench_json_line_schema():
     assert "timestamp_utc" in env and "hostname" in env
     # device probe is best-effort: either a resolved platform or an error
     assert ("platform" in env) or ("device_error" in env)
+
+
+def test_resume_legacy_manifest(tmp_path, profile_dir):
+    """Manifests written before the search sweep existed carry no 'kind'
+    key; resuming such an msv-sweep checkpoint must keep working (round-3
+    review fix: the kind check treated legacy manifests as a partition
+    mismatch)."""
+    rng = np.random.default_rng(6)
+    tokens = rng.integers(0, 20, size=(8, 48)).astype(np.int32)
+    lengths = np.full(8, 48, dtype=np.int32)
+    profiles = [MSVProfile.from_profile(parse_hmm(profile_dir / "100.hmm"))]
+    scanner = MSVScanner(backend="xla")
+    ckpt = ScanCheckpoint(tmp_path / "ckpt")
+    res1 = resumable_sweep(scanner, profiles, tokens, lengths, ckpt, shard_size=4)
+
+    # strip 'kind' to simulate a pre-round-3 manifest, then resume
+    m = ckpt.read_manifest()
+    del m["kind"]
+    ckpt.write_manifest(m)
+
+    class Boom:
+        def stage(self, *a, **k):
+            raise AssertionError("resume must not rescan")
+
+    res2 = resumable_sweep(Boom(), profiles, tokens, lengths, ckpt, shard_size=4)
+    np.testing.assert_array_equal(res1["Pfam-B_229"], res2["Pfam-B_229"])
