@@ -489,12 +489,19 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
         if want_align and result.passed_forward[i]:
             # host-side Viterbi traceback per reported hit (the chips
             # scan millions; the few survivors get O(L*M) NumPy
-            # alignments — ops.traceback)
-            from .ops.traceback import alignment_row, domain_alignments
+            # alignments — ops.traceback). Past the DP budget it falls
+            # back to the posterior envelopes when --domains decoded them
+            from .ops.traceback import alignment_row, hit_alignments
 
-            _, doms = domain_alignments(
-                p7_align, tokens[i, : int(lengths[i])]
-            )
+            try:
+                doms = hit_alignments(
+                    p7_align, tokens[i, : int(lengths[i])],
+                    envelopes=envelopes.get(int(i)),
+                )
+            except MemoryError as exc:
+                logger.warning("alignment skipped for %s: %s",
+                               row["target"], exc)
+                doms = []
             row["alignments"] = [alignment_row(d) for d in doms]
         rows.append(row)
     if args.format == "json":

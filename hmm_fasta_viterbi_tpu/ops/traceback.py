@@ -268,6 +268,36 @@ def domain_alignments(p7, tokens: np.ndarray) -> tuple[float, list[DomainAlignme
     return score, domains
 
 
+def hit_alignments(
+    p7, tokens: np.ndarray, envelopes=None
+) -> list[DomainAlignment]:
+    """Domain alignments for one hit, with an envelope fallback.
+
+    Tries the full-length traceback first; when the sequence is past the
+    TRACEBACK_MAX_GIB DP budget and posterior ``envelopes`` are
+    available ([(from, to)] 1-based spans from the --domains decode),
+    each envelope subsequence is aligned independently and its
+    coordinates shifted back — the same envelope-subsequence semantics
+    as the per-domain rescoring (the length model sees the envelope
+    length, exactly like HMMER's domain postprocessing). Re-raises the
+    MemoryError when no envelopes exist to fall back on."""
+    try:
+        return domain_alignments(p7, tokens)[1]
+    except MemoryError:
+        if not envelopes:
+            raise
+    doms: list[DomainAlignment] = []
+    for f, t in envelopes:
+        _, sub = domain_alignments(p7, np.asarray(tokens)[f - 1 : t])
+        doms.extend(
+            dataclasses.replace(
+                d, seq_from=d.seq_from + f - 1, seq_to=d.seq_to + f - 1
+            )
+            for d in sub
+        )
+    return doms
+
+
 def alignment_row(dom: DomainAlignment) -> dict:
     """The JSON-serializable form of one domain alignment (the inverse
     mapping is accepted by :func:`format_alignment`)."""

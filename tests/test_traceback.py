@@ -146,3 +146,30 @@ def test_no_alignment_on_empty():
     p7 = P7Profile.from_profile(parse_hmm_text(MINI_HMM))
     score, path = viterbi_path(p7, np.zeros(0, dtype=np.int32))
     assert score == -np.inf and path == []
+
+
+def test_hit_alignments_envelope_fallback(p7_100, monkeypatch):
+    """Past the DP budget, hit_alignments aligns each posterior envelope
+    subsequence and shifts coordinates back; with no envelopes it
+    re-raises (round-3 review: no swap-death on genome-scale input)."""
+    import hmm_fasta_viterbi_tpu.ops.traceback as tb
+
+    cons = consensus_string(p7_100)
+    rep = [AA_TO_INDEX[c] for c in cons]
+    rng = np.random.default_rng(2)
+    linker = rng.integers(0, 20, size=40).tolist()
+    tokens = np.array(rep + linker + rep, dtype=np.int32)
+
+    full = tb.hit_alignments(p7_100, tokens)
+    # budget sized so the 240-residue full DP fails but each ~100-residue
+    # envelope subsequence fits
+    monkeypatch.setattr(tb, "TRACEBACK_MAX_GIB", 4e-4)
+    with pytest.raises(MemoryError):
+        tb.hit_alignments(p7_100, tokens)
+    env = [(1, len(rep)), (len(rep) + 41, len(tokens))]
+    doms = tb.hit_alignments(p7_100, tokens, envelopes=env)
+    assert len(doms) == len(full) == 2
+    for got, want in zip(doms, full):
+        assert abs(got.seq_from - want.seq_from) <= 2
+        assert abs(got.seq_to - want.seq_to) <= 2
+        assert got.hmm_from == want.hmm_from
