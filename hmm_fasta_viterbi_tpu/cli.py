@@ -143,9 +143,61 @@ def _report(profile, db, scores: np.ndarray, args, out=None, stage="msv",
             )
 
 
+def _cmd_scan_stream(args) -> int:
+    """Streaming msv scan: the FASTA is read in bounded record batches
+    (io.fastaio.iter_fasta_batches), each staged and scanned before the
+    next is parsed — host memory holds one batch plus one float and one
+    header per sequence, so database size is unbounded. E-values use
+    the true total database size, known once the stream ends."""
+    if args.stage != "msv":
+        logger.error("--stream supports --stage msv only")
+        return 2
+    if getattr(args, "bucketed", False) or _sp_mesh(args) is not None:
+        logger.error("--stream does not compose with --bucketed or sp>1")
+        return 2
+    from .io.fastaio import FastaDatabase, FastaRecord, iter_fasta_batches
+
+    hmm = load_profile(args.hmm, prefer=args.loader)
+    profile = MSVProfile.from_profile(hmm)
+    scanner = _make_scanner(args)
+    t0 = time.perf_counter()
+    headers: list[str] = []
+    score_chunks: list[np.ndarray] = []
+    total_cells = 0
+    for batch in iter_fasta_batches(args.fasta, args.stream):
+        if not len(batch):
+            continue
+        # pad_multiple keeps the compiled-shape set small across ragged
+        # batches (one executable per 256-residue length bucket)
+        tokens, lengths = batch.encode(pad_multiple=256)
+        staged = scanner.stage(tokens, lengths)
+        score_chunks.append(np.asarray(scanner.scan(profile, staged)))
+        headers.extend(r.header for r in batch.records)
+        total_cells += int(lengths.astype(np.int64).sum()) * (
+            hmm.model_length - 1
+        )
+    if not headers:
+        logger.warning("no valid sequences in %s", args.fasta)
+        return 1
+    scores = np.concatenate(score_chunks)
+    dt = time.perf_counter() - t0
+    logger.info(
+        "streamed %d seqs x %s in %.3fs (%.2f GCUPS)",
+        len(headers), hmm.name, dt, total_cells / dt / 1e9,
+    )
+    db = FastaDatabase(
+        records=[FastaRecord(h, "") for h in headers], rejected=[]
+    )
+    with _out_sink(args) as sink:
+        _report(hmm, db, scores, args, out=sink, stage="msv")
+    return 0
+
+
 def cmd_scan(args) -> int:
     if args.out:
         open(args.out, "w").close()  # fail fast on a bad --out path
+    if getattr(args, "stream", 0):
+        return _cmd_scan_stream(args)
     hmm = load_profile(args.hmm, prefer=args.loader)
     db = load_fasta(args.fasta, prefer=args.loader)
     if not len(db):
@@ -750,6 +802,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--bucketed",
         action="store_true",
         help="length-bucketed staging for ragged databases (msv stage)",
+    )
+    scan.add_argument(
+        "--stream",
+        type=int,
+        default=0,
+        metavar="N",
+        help="msv stage: stream the FASTA in batches of N records "
+        "(bounded host memory for databases too large to load whole)",
     )
     _add_common(scan)
     scan.set_defaults(fn=cmd_scan)

@@ -107,21 +107,79 @@ def parse_fasta_text(text: str, source: str = "<string>") -> FastaDatabase:
     records: list[FastaRecord] = []
     rejected: list[FastaRecord] = []
     for header, parts in zip(headers, chunks):
-        rec = FastaRecord(header=header, sequence="".join(parts))
-        if is_valid_sequence(rec.sequence):
-            records.append(rec)
-        else:
-            # whole-sequence rejection with a warning, as in the reference
-            # (FASTA_protein_sequences.cpp:29-41)
-            bad = next(c for c in rec.sequence if not is_valid_sequence(c))
-            logger.warning(
-                "sequence %r rejected: prohibited symbol %r in %s FASTA file",
-                rec.header or rec.sequence[:30],
-                bad,
-                source,
-            )
-            rejected.append(rec)
+        _classify_record(
+            FastaRecord(header=header, sequence="".join(parts)),
+            records, rejected, source,
+        )
     return FastaDatabase(records=records, rejected=rejected)
+
+
+def _classify_record(
+    rec: FastaRecord,
+    records: list[FastaRecord],
+    rejected: list[FastaRecord],
+    source: str,
+) -> None:
+    """Whole-sequence accept/reject with a warning, as in the reference
+    (FASTA_protein_sequences.cpp:29-41) — one definition shared by the
+    whole-file and streaming parsers."""
+    if is_valid_sequence(rec.sequence):
+        records.append(rec)
+    else:
+        bad = next(c for c in rec.sequence if not is_valid_sequence(c))
+        logger.warning(
+            "sequence %r rejected: prohibited symbol %r in %s FASTA file",
+            rec.header or rec.sequence[:30],
+            bad,
+            source,
+        )
+        rejected.append(rec)
+
+
+def iter_fasta_batches(path: str | os.PathLike, batch_records: int = 8192):
+    """Stream a FASTA file as :class:`FastaDatabase` batches.
+
+    Yields databases of at most ``batch_records`` VALID records each,
+    holding only the current batch in host memory — the scan path for
+    databases too large to load whole (pair with MSVScanner staging,
+    which already bounds device residency per shard). Validation,
+    rejection warnings, and the data-before-header error are identical
+    to :func:`parse_fasta` (shared _classify_record); rejected records
+    are attached to the batch in which they were read."""
+    source = str(path)
+    records: list[FastaRecord] = []
+    rejected: list[FastaRecord] = []
+    header: str | None = None
+    parts: list[str] = []
+
+    def finish() -> None:
+        nonlocal header, parts
+        if header is not None:
+            _classify_record(
+                FastaRecord(header=header, sequence="".join(parts)),
+                records, rejected, source,
+            )
+        header, parts = None, []
+
+    with open(path, "r") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith(">"):
+                finish()
+                if len(records) >= batch_records:
+                    batch = FastaDatabase(records=records, rejected=rejected)
+                    records, rejected = [], []
+                    yield batch
+                header = line[1:].strip()
+            elif line:
+                if header is None:
+                    raise FastaParseError(
+                        f"{source}: sequence data before first '>' header"
+                    )
+                parts.append(line.strip())
+    finish()
+    if records or rejected:
+        yield FastaDatabase(records=records, rejected=rejected)
 
 
 def write_fasta(path: str | os.PathLike, records: list[FastaRecord], width: int = 70) -> None:

@@ -358,3 +358,28 @@ def test_cli_align_subcommand(tmp_path, profile_dir, capsys):
     assert main(args) == 0  # tsv renders blocks
     out = capsys.readouterr().out
     assert "hitseq" in out and "domain 1" in out
+
+
+def test_cli_scan_stream_matches_whole(tmp_path, profile_dir, capsys):
+    """--stream N produces the same report as the whole-file scan
+    (scores, p/E-values with the TRUE total database size)."""
+    rng = np.random.default_rng(7)
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    fasta = tmp_path / "db.fsa"
+    fasta.write_text(
+        "".join(
+            f">s{i}\n" + "".join(aas[k] for k in rng.integers(0, 20, 40 + 13 * i)) + "\n"
+            for i in range(7)
+        )
+    )
+    args = ["scan", "--hmm", str(profile_dir / "100.hmm"),
+            "--fasta", str(fasta), "--backend", "xla", "--format", "json"]
+    assert main(args) == 0
+    whole = {r["target"]: r for r in json.loads(capsys.readouterr().out)}
+    assert main(args + ["--stream", "3"]) == 0
+    streamed = json.loads(capsys.readouterr().out)
+    assert len(streamed) == len(whole) == 7
+    for r in streamed:
+        want = whole[r["target"]]
+        assert r["score_nats"] == pytest.approx(want["score_nats"], abs=1e-4)
+        assert r["evalue"] == pytest.approx(want["evalue"], rel=1e-6)

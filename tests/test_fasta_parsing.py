@@ -77,3 +77,52 @@ def test_write_roundtrip(tmp_path):
     # wrapped at 70 columns like the reference generator
     lines = path.read_text().splitlines()
     assert max(len(l) for l in lines) == 70
+
+
+def test_iter_fasta_batches_matches_whole_file(tmp_path):
+    """Streaming batches concatenate to exactly the whole-file parse —
+    same records, same order, same rejections — across batch sizes that
+    do and do not divide the record count."""
+    import numpy as np
+
+    from hmm_fasta_viterbi_tpu.io.fastaio import (
+        iter_fasta_batches,
+        parse_fasta,
+    )
+
+    rng = np.random.default_rng(0)
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    lines = []
+    for i in range(11):
+        seq = "".join(aas[k] for k in rng.integers(0, 20, 30 + 7 * i))
+        if i == 4:
+            seq = seq[:10] + "X" + seq[10:]  # rejected whole
+        lines.append(f">rec{i}")
+        # wrapped lines like real FASTA
+        lines.extend(seq[j : j + 17] for j in range(0, len(seq), 17))
+    path = tmp_path / "db.fsa"
+    path.write_text("\n".join(lines) + "\n")
+
+    whole = parse_fasta(path)
+    assert len(whole) == 10 and len(whole.rejected) == 1
+    for n in (1, 3, 10, 100):
+        batches = list(iter_fasta_batches(path, batch_records=n))
+        recs = [r for b in batches for r in b.records]
+        rej = [r for b in batches for r in b.rejected]
+        assert [(r.header, r.sequence) for r in recs] == [
+            (r.header, r.sequence) for r in whole.records
+        ], n
+        assert [r.header for r in rej] == ["rec4"]
+        assert all(len(b) <= n for b in batches)
+
+
+def test_iter_fasta_batches_data_before_header(tmp_path):
+    from hmm_fasta_viterbi_tpu.io.fastaio import (
+        FastaParseError,
+        iter_fasta_batches,
+    )
+
+    path = tmp_path / "bad.fsa"
+    path.write_text("ACDEF\n>rec\nACDEF\n")
+    with pytest.raises(FastaParseError):
+        list(iter_fasta_batches(path))
