@@ -717,6 +717,7 @@ def cmd_align(args) -> int:
         alignment_row,
         domain_alignments,
         format_alignment,
+        stockholm_msa,
     )
 
     hmm = load_profile(args.hmm, prefer=args.loader)
@@ -724,6 +725,7 @@ def cmd_align(args) -> int:
     db = load_fasta(args.fasta, prefer=args.loader)
     tokens, lengths = db.encode()
     rows = []
+    msa_entries = []
     with _out_sink(args) as sink:
         out = sink if sink is not None else sys.stdout
         for i in range(len(db)):
@@ -736,6 +738,8 @@ def cmd_align(args) -> int:
                     "viterbi_nats": round(score, 4) if np.isfinite(score) else None,
                     "alignments": [alignment_row(d) for d in doms],
                 })
+            elif args.format == "stockholm":
+                msa_entries.extend((name, d) for d in doms)
             else:
                 for k, d in enumerate(doms):
                     out.write(
@@ -747,6 +751,8 @@ def cmd_align(args) -> int:
         if args.format == "json":
             json.dump(rows, out, indent=1)
             out.write("\n")
+        elif args.format == "stockholm":
+            out.write(stockholm_msa(msa_entries, p7.num_states, hmm.name))
     return 0
 
 
@@ -851,7 +857,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     aln.add_argument("--hmm", required=True, help="HMMER3 .hmm profile")
     aln.add_argument("--fasta", required=True, help="protein FASTA")
-    aln.add_argument("--format", default="tsv", choices=["tsv", "json"])
+    aln.add_argument(
+        "--format", default="tsv", choices=["tsv", "json", "stockholm"],
+        help="tsv: hmmsearch-style blocks; stockholm: one MSA over all "
+        "domains (the hmmalign/hmmsearch -A product)",
+    )
     aln.add_argument("--out", default=None)
     aln.add_argument(
         "--loader", default="auto", choices=["auto", "native", "python"]

@@ -309,18 +309,83 @@ def alignment_row(dom: DomainAlignment) -> dict:
     }
 
 
-def format_alignment(
-    dom: "DomainAlignment | dict", name: str, seq_id: str, width: int = 60
-) -> str:
-    """hmmsearch-style wrapped alignment block for one domain (accepts
-    the dataclass or its :func:`alignment_row` dict form)."""
+def _as_domain(dom: "DomainAlignment | dict") -> DomainAlignment:
     if isinstance(dom, dict):
-        dom = DomainAlignment(
+        return DomainAlignment(
             seq_from=dom["seq_from"], seq_to=dom["seq_to"],
             hmm_from=dom["hmm_from"], hmm_to=dom["hmm_to"],
             model_line=dom["model"], match_line=dom["match"],
             seq_line=dom["aseq"],
         )
+    return dom
+
+
+def stockholm_msa(
+    entries: "list[tuple[str, DomainAlignment | dict]]",
+    num_states: int,
+    profile_name: str = "",
+) -> str:
+    """Render domain alignments as one Stockholm 1.0 MSA.
+
+    The multiple-alignment product of ``hmmalign`` / ``hmmsearch -A``
+    (the reference never built either; its parsed-but-unused transition
+    rows exist for exactly this stage — data_readers/Profile_HMM.hpp:
+    32-42): every domain becomes one row named ``target/from-to``,
+    aligned in model coordinate space. Column plan follows the HMMER
+    convention — one column per match node 1..``num_states`` plus, after
+    node k, as many lowercase insert columns as the longest insert run
+    any row has there. Match columns hold the residue (upper case) or
+    ``-`` on delete; ``.`` marks both insert-column padding and match
+    columns outside a row's domain span. ``#=GC RF`` annotates match
+    columns ``x``, insert columns ``.``.
+    """
+    parsed = []
+    ins_len: dict[int, int] = {}
+    for name, dom in entries:
+        d = _as_domain(dom)
+        matches: dict[int, str] = {}
+        inserts: dict[int, str] = {}
+        j = d.hmm_from - 1  # node last consumed; first non-'.' col is hmm_from
+        for mod_c, seq_c in zip(d.model_line, d.seq_line):
+            if mod_c == ".":  # insert run after node j
+                inserts[j] = inserts.get(j, "") + seq_c.lower()
+            else:
+                j += 1
+                matches[j] = "-" if seq_c == "-" else seq_c.upper()
+        parsed.append((f"{name}/{d.seq_from}-{d.seq_to}", matches, inserts))
+        for k, run in inserts.items():
+            ins_len[k] = max(ins_len.get(k, 0), len(run))
+
+    rows: list[tuple[str, str]] = []
+    for row_name, matches, inserts in parsed:
+        cols: list[str] = []
+        for k in range(1, num_states + 1):
+            cols.append(matches.get(k, "."))
+            if ins_len.get(k):
+                run = inserts.get(k, "")
+                cols.append(run + "." * (ins_len[k] - len(run)))
+        rows.append((row_name, "".join(cols)))
+
+    rf = "".join(
+        "x" + "." * ins_len.get(k, 0) for k in range(1, num_states + 1)
+    )
+    pad = max([len("#=GC RF")] + [len(n) for n, _ in rows]) + 2
+    lines = ["# STOCKHOLM 1.0"]
+    if profile_name:
+        lines.append(f"#=GF ID {profile_name}")
+    lines.append("")
+    lines.extend(f"{n:<{pad}}{seq}" for n, seq in rows)
+    lines.append(f"{'#=GC RF':<{pad}}{rf}")
+    lines.append("//")
+    return "\n".join(lines) + "\n"
+
+
+def format_alignment(
+    dom: "DomainAlignment | dict", name: str, seq_id: str, width: int = 60
+) -> str:
+    """hmmsearch-style wrapped alignment block for one domain (accepts
+    the dataclass or its :func:`alignment_row` dict form)."""
+    dom = _as_domain(dom)
     lines = []
     hp, sp_ = dom.hmm_from, dom.seq_from
     for off in range(0, dom.n_columns, width):

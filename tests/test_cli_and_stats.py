@@ -359,6 +359,16 @@ def test_cli_align_subcommand(tmp_path, profile_dir, capsys):
     out = capsys.readouterr().out
     assert "hitseq" in out and "domain 1" in out
 
+    assert main(args + ["--format", "stockholm"]) == 0  # one MSA
+    sto = capsys.readouterr().out
+    assert sto.startswith("# STOCKHOLM 1.0")
+    assert sto.rstrip().endswith("//")
+    row = next(
+        ln for ln in sto.splitlines()
+        if ln.startswith("hitseq/")
+    )
+    assert row.split()[1].replace("-", "").replace(".", "").upper() == cons
+
 
 def test_cli_scan_stream_matches_whole(tmp_path, profile_dir, capsys):
     """--stream N produces the same report as the whole-file scan

@@ -138,6 +138,52 @@ def test_format_alignment_block(p7_100):
     assert f"{doms[0].hmm_from:6d}" in lines[0]
 
 
+def test_stockholm_msa(p7_100):
+    """Stockholm MSA over domains: one row per domain in model column
+    space; rows equal-width; residue content reconstructs each domain's
+    sequence slice; insert runs become lowercase columns RF-marked '.'."""
+    from hmm_fasta_viterbi_tpu.ops.traceback import stockholm_msa
+
+    rng = np.random.default_rng(5)
+    cons = consensus_string(p7_100)
+    rep = [AA_TO_INDEX[c] for c in cons]
+    mid = len(rep) // 2
+    # seqA: plain consensus; seqB: consensus with a 3-residue insertion
+    tok_a = np.array(rep, dtype=np.int32)
+    tok_b = np.array(
+        rep[:mid] + rng.integers(0, 20, size=3).tolist() + rep[mid:],
+        dtype=np.int32,
+    )
+    entries = []
+    for name, tok in (("seqA", tok_a), ("seqB", tok_b)):
+        _, doms = domain_alignments(p7_100, tok)
+        entries.extend((name, d) for d in doms)
+    text = stockholm_msa(entries, p7_100.num_states, "100")
+    lines = text.splitlines()
+    assert lines[0] == "# STOCKHOLM 1.0"
+    assert lines[-1] == "//"
+    rows = [ln for ln in lines if ln and not ln.startswith(("#", "//"))]
+    rf = next(ln for ln in lines if ln.startswith("#=GC RF"))
+    seqs = {ln.split()[0]: ln.split()[1] for ln in rows}
+    rf_cols = rf.split()[-1]
+    assert len(rf_cols) == p7_100.num_states + 3  # 3 insert columns
+    assert all(len(s) == len(rf_cols) for s in seqs.values())
+    # every x column is a match node in order; '.' columns are inserts
+    assert rf_cols.count("x") == p7_100.num_states
+    # rows reconstruct their sequences (letters only, in order)
+    for (name, dom), tok in zip(entries, (tok_a, tok_b)):
+        row = seqs[f"{name}/{dom.seq_from}-{dom.seq_to}"]
+        got = [c.upper() for c in row if c.isalpha()]
+        from hmm_fasta_viterbi_tpu.io.alphabet import AMINO_ACIDS
+
+        want = [AMINO_ACIDS[t] for t in tok[dom.seq_from - 1 : dom.seq_to]]
+        assert got == want
+    # the insertion shows as lowercase in seqB's row under RF '.'
+    row_b = next(v for k, v in seqs.items() if k.startswith("seqB"))
+    ins_cols = [i for i, c in enumerate(rf_cols) if c == "."]
+    assert any(row_b[i].islower() for i in ins_cols)
+
+
 def test_no_alignment_on_empty():
     from hmm_fasta_viterbi_tpu import parse_hmm_text
 
