@@ -196,6 +196,11 @@ def _cmd_scan_stream(args) -> int:
 def cmd_scan(args) -> int:
     if args.out:
         open(args.out, "w").close()  # fail fast on a bad --out path
+    if getattr(args, "msa_out", None) and not (
+        args.stage == "search" and getattr(args, "align", False)
+    ):
+        logger.error("--msa-out requires --stage search --align")
+        return 2
     if getattr(args, "stream", 0):
         return _cmd_scan_stream(args)
     hmm = load_profile(args.hmm, prefer=args.loader)
@@ -556,6 +561,17 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
                 doms = []
             row["alignments"] = [alignment_row(d) for d in doms]
         rows.append(row)
+    msa_path = getattr(args, "msa_out", None)
+    if msa_path and want_align:
+        # hmmsearch -A: one Stockholm MSA over every hit domain
+        from .ops.traceback import stockholm_msa
+
+        entries = [
+            (r["target"], a) for r in rows for a in r.get("alignments", [])
+        ]
+        with open(msa_path, "w") as fh:
+            fh.write(stockholm_msa(entries, p7_align.num_states, hmm.name))
+        logger.info("wrote %d aligned domains to %s", len(entries), msa_path)
     if args.format == "json":
         if rows_sink is not None:
             rows_sink.extend(rows)
@@ -803,6 +819,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="search stage: report per-domain Viterbi alignments "
         "(host-side traceback of each hit)",
+    )
+    scan.add_argument(
+        "--msa-out",
+        default=None,
+        metavar="FILE",
+        help="with --align: write one Stockholm MSA of all hit domains "
+        "(the hmmsearch -A product)",
     )
     scan.add_argument(
         "--bucketed",

@@ -333,6 +333,18 @@ def test_cli_search_align(tmp_path, profile_dir, capsys):
     text = capsys.readouterr().out
     assert "domain 1" in text and "domain 2" in text
 
+    # --msa-out: the hmmsearch -A Stockholm MSA of all hit domains
+    msa = tmp_path / "hits.sto"
+    assert main(args + ["--msa-out", str(msa)]) == 0
+    capsys.readouterr()
+    sto = msa.read_text()
+    assert sto.startswith("# STOCKHOLM 1.0") and sto.rstrip().endswith("//")
+    doms = [ln for ln in sto.splitlines() if ln.startswith("seq0/")]
+    assert len(doms) == 2  # one MSA row per hit domain
+    # gated: --msa-out without --align is a usage error
+    bad = [a for a in args if a != "--align"] + ["--msa-out", str(msa)]
+    assert main(bad) == 2
+
 
 def test_cli_align_subcommand(tmp_path, profile_dir, capsys):
     """`align` (hmmalign-shaped): Viterbi-aligns every sequence, no
