@@ -155,7 +155,8 @@ def _cmd_scan_stream(args) -> int:
     if getattr(args, "bucketed", False) or _sp_mesh(args) is not None:
         logger.error("--stream does not compose with --bucketed or sp>1")
         return 2
-    from .io.fastaio import FastaDatabase, FastaRecord, iter_fasta_batches
+    from .io.fastaio import FastaDatabase, FastaRecord
+    from .io.loader import stream_fasta
 
     hmm = load_profile(args.hmm, prefer=args.loader)
     profile = MSVProfile.from_profile(hmm)
@@ -164,7 +165,7 @@ def _cmd_scan_stream(args) -> int:
     headers: list[str] = []
     score_chunks: list[np.ndarray] = []
     total_cells = 0
-    for batch in iter_fasta_batches(args.fasta, args.stream):
+    for batch in stream_fasta(args.fasta, args.stream, prefer=args.loader):
         if not len(batch):
             continue
         # pad_multiple keeps the compiled-shape set small across ragged

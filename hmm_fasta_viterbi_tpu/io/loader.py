@@ -43,6 +43,27 @@ def load_fasta(path, prefer: Prefer = "auto") -> FastaDatabase:
     return parse_fasta(path)
 
 
+def stream_fasta(path, batch_records: int, prefer: Prefer = "auto"):
+    """Yield bounded-memory FASTA batches (the scan --stream path).
+
+    Native streaming reader when available (io.native
+    iter_fasta_batches_native — residues go straight to int8 tokens),
+    else the pure-Python line iterator (io.fastaio.iter_fasta_batches);
+    both cut batches at header lines after ``batch_records`` valid
+    records and expose ``encode`` / ``records`` / ``__len__``."""
+    if prefer != "python":
+        try:
+            yield from native.iter_fasta_batches_native(path, batch_records)
+            return
+        except native.NativeUnavailable:
+            if prefer == "native":
+                raise
+            logger.debug("native loader unavailable; using python parser")
+    from .fastaio import iter_fasta_batches
+
+    yield from iter_fasta_batches(path, batch_records)
+
+
 def load_fasta_arrays(
     path, prefer: Prefer = "auto"
 ) -> tuple[np.ndarray, np.ndarray, list[str]]:

@@ -13,6 +13,7 @@ Loading policy: try the prebuilt shared library; if missing, attempt one
 from __future__ import annotations
 
 import ctypes
+import dataclasses
 import logging
 import pathlib
 import subprocess
@@ -27,7 +28,7 @@ logger = logging.getLogger(__name__)
 
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "build" / "libfastparse.so"
-_ABI_VERSION = 1
+_ABI_VERSION = 2
 
 
 class NativeUnavailable(RuntimeError):
@@ -104,6 +105,14 @@ def _load():
         lib.fp_parse_fasta.argtypes = [ctypes.c_char_p, ctypes.POINTER(_FpFasta)]
         lib.fp_parse_fasta.restype = ctypes.c_int32
         lib.fp_free_fasta.argtypes = [ctypes.POINTER(_FpFasta)]
+        lib.fp_fasta_open.argtypes = [ctypes.c_char_p]
+        lib.fp_fasta_open.restype = ctypes.c_void_p
+        lib.fp_fasta_next.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(_FpFasta), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.fp_fasta_next.restype = ctypes.c_int32
+        lib.fp_fasta_close.argtypes = [ctypes.c_void_p]
     except OSError as e:  # pragma: no cover
         _load_error = f"failed to load {_LIB_PATH}: {e}"
         raise NativeUnavailable(_load_error) from e
@@ -186,6 +195,105 @@ def parse_fasta_arrays_native(path) -> tuple[np.ndarray, np.ndarray, list[str], 
         return tokens, lengths, headers, int(out.num_rejected)
     finally:
         lib.fp_free_fasta(ctypes.byref(out))
+
+
+@dataclasses.dataclass
+class EncodedFastaBatch:
+    """One streamed FASTA batch, already alphabet-encoded.
+
+    Duck-typed to the FastaDatabase surface the streaming scan consumes
+    (``__len__``, ``lengths``, ``records`` [headers only], ``encode``) —
+    but the residues never exist as Python strings: the C++ reader emits
+    the flat int8 token array directly, so genome-scale streams parse at
+    native rate instead of the Python line loop's."""
+
+    headers: list[str]
+    flat: np.ndarray  # int8 concatenated encoded residues
+    offsets: np.ndarray  # int64 [B + 1] into flat
+    num_rejected: int = 0
+
+    def __len__(self) -> int:
+        return len(self.headers)
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets).astype(np.int32)
+
+    @property
+    def records(self) -> list[FastaRecord]:
+        # header-only view (streamed residues stay as tokens)
+        return [FastaRecord(header=h, sequence="") for h in self.headers]
+
+    def encode(
+        self, pad_to: int | None = None, pad_multiple: int = 1,
+        pad_token: int = 0,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Same contract as FastaDatabase.encode (fastaio.py)."""
+        lengths = self.lengths
+        max_len = int(lengths.max()) if len(lengths) else 0
+        if pad_to is not None:
+            if pad_to < max_len:
+                raise ValueError(f"pad_to={pad_to} < longest sequence {max_len}")
+            max_len = pad_to
+        max_len = max(1, -(-max_len // pad_multiple) * pad_multiple)
+        tokens = np.full((len(self.headers), max_len), pad_token, dtype=np.int32)
+        for i in range(len(self.headers)):
+            tokens[i, : lengths[i]] = self.flat[self.offsets[i] : self.offsets[i + 1]]
+        return tokens, lengths
+
+
+def iter_fasta_batches_native(path, batch_records: int = 8192):
+    """Stream a FASTA natively as :class:`EncodedFastaBatch` chunks.
+
+    Batch semantics match io.fastaio.iter_fasta_batches (at most
+    ``batch_records`` valid records per batch, cut at header lines,
+    rejections counted in the batch they were read in); the C++ reader
+    (native/fastparse.cpp fp_fasta_open/next/close) keeps host memory
+    at one batch regardless of database size."""
+    lib = _load()
+    handle = lib.fp_fasta_open(str(path).encode())
+    if not handle:
+        raise OSError(f"fastparse: cannot open {path}")
+    try:
+        done = ctypes.c_int32(0)
+        while not done.value:
+            out = _FpFasta()
+            rc = lib.fp_fasta_next(
+                handle, batch_records, ctypes.byref(out), ctypes.byref(done)
+            )
+            if rc != 0:
+                raise ValueError(
+                    f"fastparse: failed to stream {path} (code {rc})"
+                )
+            try:
+                b = int(out.num_records)
+                offsets = (
+                    np.ctypeslib.as_array(out.offsets, (b + 1,)).copy()
+                    if b
+                    else np.zeros(1, dtype=np.int64)
+                )
+                flat = (
+                    np.ctypeslib.as_array(
+                        out.tokens, (int(out.total_tokens),)
+                    ).copy()
+                    if out.total_tokens
+                    else np.zeros(0, dtype=np.int8)
+                )
+                raw = (
+                    ctypes.string_at(out.headers, out.headers_bytes)
+                    if out.headers_bytes
+                    else b""
+                )
+                headers = raw.decode().split("\0")[:b]
+            finally:
+                lib.fp_free_fasta(ctypes.byref(out))
+            if b or out.num_rejected:
+                yield EncodedFastaBatch(
+                    headers=headers, flat=flat, offsets=offsets,
+                    num_rejected=int(out.num_rejected),
+                )
+    finally:
+        lib.fp_fasta_close(handle)
 
 
 def parse_fasta_native(path) -> FastaDatabase:

@@ -368,6 +368,155 @@ void fp_free_fasta(FpFasta* f) {
   f->headers = nullptr;
 }
 
-int32_t fp_abi_version(void) { return 1; }
+// ---------------------------------------------------------------------
+// Streaming FASTA parsing (bounded host memory)
+// ---------------------------------------------------------------------
+//
+// Batch semantics mirror io/fastaio.py::iter_fasta_batches: each
+// fp_fasta_next call returns at most `max_records` VALID records; the
+// batch boundary falls on a '>' header line (which then starts the next
+// batch); rejections are counted against the batch in which they were
+// read. The engine's streaming scan path uses this to keep host memory
+// at one batch for genome-scale databases while the device scans at
+// kernel rate (the Python line loop parses ~10x slower than the chips
+// consume at M>=1400).
+
+struct FpFastaStream {
+  FILE* f = nullptr;
+  std::string buf;            // unconsumed bytes (partial lines)
+  size_t pos = 0;             // parse cursor into buf
+  std::string pending_header; // record being accumulated
+  std::vector<int8_t> pending;
+  bool pending_valid = true;
+  bool in_record = false;
+  bool at_eof = false;
+};
+
+extern "C" FpFastaStream* fp_fasta_open(const char* path) {
+  if (!path) return nullptr;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* s = new FpFastaStream();
+  s->f = f;
+  return s;
+}
+
+extern "C" void fp_fasta_close(FpFastaStream* s) {
+  if (!s) return;
+  if (s->f) std::fclose(s->f);
+  delete s;
+}
+
+namespace {
+
+// next complete line out of the stream buffer, refilling from the file
+// as needed; false only at true EOF with nothing left
+bool stream_next_line(FpFastaStream* s, std::string& line) {
+  constexpr size_t kChunk = 1 << 20;
+  for (;;) {
+    size_t nl = s->buf.find('\n', s->pos);
+    if (nl != std::string::npos) {
+      size_t stop = nl;
+      if (stop > s->pos && s->buf[stop - 1] == '\r') --stop;
+      line.assign(s->buf, s->pos, stop - s->pos);
+      s->pos = nl + 1;
+      return true;
+    }
+    if (s->at_eof) {
+      if (s->pos >= s->buf.size()) return false;
+      size_t stop = s->buf.size();
+      if (stop > s->pos && s->buf[stop - 1] == '\r') --stop;
+      line.assign(s->buf, s->pos, stop - s->pos);
+      s->pos = s->buf.size();
+      return true;
+    }
+    // refill: drop consumed prefix, append one chunk
+    s->buf.erase(0, s->pos);
+    s->pos = 0;
+    size_t old = s->buf.size();
+    s->buf.resize(old + kChunk);
+    size_t got = std::fread(&s->buf[old], 1, kChunk, s->f);
+    s->buf.resize(old + got);
+    if (got == 0) s->at_eof = true;
+  }
+}
+
+}  // namespace
+
+extern "C" int32_t fp_fasta_next(FpFastaStream* s, int64_t max_records,
+                                 FpFasta* out, int32_t* done) {
+  if (!s || !out || !done || max_records <= 0) return kErrBadArg;
+  memset(out, 0, sizeof(*out));
+  *done = 0;
+
+  std::vector<int8_t> tokens;
+  std::vector<int64_t> offsets{0};
+  std::string headers;
+  int64_t num_rejected = 0;
+
+  auto flush = [&]() {
+    if (!s->in_record) return;
+    if (s->pending_valid) {
+      tokens.insert(tokens.end(), s->pending.begin(), s->pending.end());
+      offsets.push_back(static_cast<int64_t>(tokens.size()));
+      headers.append(s->pending_header);
+      headers.push_back('\0');
+    } else {
+      ++num_rejected;
+    }
+    s->pending.clear();
+    s->pending_valid = true;
+    s->in_record = false;
+  };
+
+  std::string line;
+  bool batch_full = false;
+  for (;;) {
+    if (!stream_next_line(s, line)) {
+      flush();
+      *done = 1;
+      break;
+    }
+    if (!line.empty() && line[0] == '>') {
+      flush();
+      if (static_cast<int64_t>(offsets.size()) - 1 >= max_records)
+        batch_full = true;
+      s->in_record = true;
+      size_t h = 1;
+      while (h < line.size() && (line[h] == ' ' || line[h] == '\t')) ++h;
+      size_t e = line.size();
+      while (e > h && (line[e - 1] == ' ' || line[e - 1] == '\t')) --e;
+      s->pending_header.assign(line, h, e - h);
+      if (batch_full) break;  // this header starts the NEXT batch
+      continue;
+    }
+    if (line.empty()) continue;
+    if (!s->in_record) return kErrFormat;  // data before first header
+    for (char c : line) {
+      if (c == ' ' || c == '\t') continue;
+      int idx = amino_index(c);
+      if (idx < 0) {
+        s->pending_valid = false;
+      } else {
+        s->pending.push_back(static_cast<int8_t>(idx));
+      }
+    }
+  }
+
+  out->num_records = static_cast<int64_t>(offsets.size()) - 1;
+  out->num_rejected = num_rejected;
+  out->total_tokens = static_cast<int64_t>(tokens.size());
+  out->headers_bytes = static_cast<int64_t>(headers.size());
+  out->tokens = static_cast<int8_t*>(malloc(tokens.size() ? tokens.size() : 1));
+  out->offsets = static_cast<int64_t*>(malloc(offsets.size() * sizeof(int64_t)));
+  out->headers = static_cast<char*>(malloc(headers.size() ? headers.size() : 1));
+  if (!out->tokens || !out->offsets || !out->headers) return kErrIo;
+  if (!tokens.empty()) memcpy(out->tokens, tokens.data(), tokens.size());
+  memcpy(out->offsets, offsets.data(), offsets.size() * sizeof(int64_t));
+  if (!headers.empty()) memcpy(out->headers, headers.data(), headers.size());
+  return kOk;
+}
+
+int32_t fp_abi_version(void) { return 2; }
 
 }  // extern "C"

@@ -76,6 +76,57 @@ def test_hmm_error_path(tmp_path):
         native.parse_hmm_native(tmp_path / "missing.hmm")
 
 
+def test_stream_batches_match_python(tmp_path, fasta_dir):
+    """Native streaming reader == Python iter_fasta_batches: batch cuts,
+    headers, encoded tokens, rejection counting — across divisor and
+    non-divisor batch sizes, wrapped lines, and a rejected record."""
+    from hmm_fasta_viterbi_tpu.io.fastaio import iter_fasta_batches
+
+    rng = np.random.default_rng(11)
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    f = tmp_path / "stream.fsa"
+    recs = []
+    for i in range(9):
+        seq = "".join(aas[k] for k in rng.integers(0, 20, 30 + 17 * i))
+        # wrap at 25 cols to exercise multi-line joining
+        seq = "\n".join(seq[j : j + 25] for j in range(0, len(seq), 25))
+        recs.append(f">s{i} desc\n{seq}\n")
+    recs.insert(4, ">bad\nACDZF\n")  # rejected mid-stream
+    f.write_text("".join(recs))
+
+    for bs in (1, 3, 4, 100):
+        nb = list(native.iter_fasta_batches_native(f, bs))
+        pb = list(iter_fasta_batches(f, bs))
+        assert len(nb) == len(pb), bs
+        assert sum(b.num_rejected for b in nb) == 1
+        for a, b in zip(nb, pb):
+            assert a.headers == [r.header for r in b.records], bs
+            assert a.num_rejected == len(b.rejected)
+            ta, la = a.encode(pad_multiple=8)
+            tb, lb = b.encode(pad_multiple=8)
+            assert np.array_equal(la, lb) and np.array_equal(ta, tb), bs
+
+    bad = tmp_path / "bad.fsa"
+    bad.write_text("ACDEF\n>late\nGHI\n")
+    with pytest.raises(ValueError):
+        list(native.iter_fasta_batches_native(bad, 4))
+    with pytest.raises(OSError):
+        list(native.iter_fasta_batches_native(tmp_path / "missing.fsa", 4))
+
+
+def test_stream_fasta_loader_dispatch(fasta_dir):
+    """loader.stream_fasta: native and python streams agree."""
+    path = fasta_dir / "fasta_like_example.fsa"
+    a = list(loader.stream_fasta(path, 2, prefer="native"))
+    b = list(loader.stream_fasta(path, 2, prefer="python"))
+    assert len(a) == len(b) == 2
+    for x, y in zip(a, b):
+        assert [r.header for r in x.records] == [r.header for r in y.records]
+        tx, lx = x.encode()
+        ty, ly = y.encode()
+        assert np.array_equal(tx, ty) and np.array_equal(lx, ly)
+
+
 def test_loader_prefer_modes(profile_dir, fasta_dir):
     a = loader.load_profile(profile_dir / "100.hmm", prefer="native")
     b = loader.load_profile(profile_dir / "100.hmm", prefer="python")
