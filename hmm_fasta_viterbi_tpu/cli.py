@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import contextlib
+import dataclasses
 import json
 import logging
 import pathlib
@@ -144,23 +145,40 @@ def _report(profile, db, scores: np.ndarray, args, out=None, stage="msv",
 
 
 def _cmd_scan_stream(args) -> int:
-    """Streaming msv scan: the FASTA is read in bounded record batches
-    (io.fastaio.iter_fasta_batches), each staged and scanned before the
-    next is parsed — host memory holds one batch plus one float and one
-    header per sequence, so database size is unbounded. E-values use
-    the true total database size, known once the stream ends."""
-    if args.stage != "msv":
-        logger.error("--stream supports --stage msv only")
-        return 2
+    """Streaming scan: the FASTA is read in bounded record batches
+    (io.loader.stream_fasta), each staged and scored before the next is
+    parsed — host memory holds one batch plus one float and one header
+    per sequence, so database size is unbounded. E-values use the true
+    total database size, known once the stream ends. All single-score
+    stages (msv/viterbi/forward) stream; --stage search streams via
+    per-batch compaction to MSV survivors (_cmd_search_stream)."""
     if getattr(args, "bucketed", False) or _sp_mesh(args) is not None:
         logger.error("--stream does not compose with --bucketed or sp>1")
         return 2
+    if args.stage == "search":
+        return _cmd_search_stream(args)
     from .io.fastaio import FastaDatabase, FastaRecord
     from .io.loader import stream_fasta
 
     hmm = load_profile(args.hmm, prefer=args.loader)
-    profile = MSVProfile.from_profile(hmm)
     scanner = _make_scanner(args)
+    if args.stage == "msv":
+        profile = MSVProfile.from_profile(hmm)
+
+        def batch_scores(tokens, lengths):
+            staged = scanner.stage(tokens, lengths)
+            return np.asarray(scanner.scan(profile, staged))
+    else:  # viterbi / forward
+        from .models.p7 import P7Profile
+        from .pipeline import select_p7_fns
+
+        p7 = P7Profile.from_profile(hmm)
+        vit_fn, fwd_fn = select_p7_fns(scanner.backend, scanner.interpret)
+        p7_fn = vit_fn if args.stage == "viterbi" else fwd_fn
+
+        def batch_scores(tokens, lengths):
+            return np.asarray(p7_fn(p7, tokens, lengths))
+
     t0 = time.perf_counter()
     headers: list[str] = []
     score_chunks: list[np.ndarray] = []
@@ -171,8 +189,7 @@ def _cmd_scan_stream(args) -> int:
         # pad_multiple keeps the compiled-shape set small across ragged
         # batches (one executable per 256-residue length bucket)
         tokens, lengths = batch.encode(pad_multiple=256)
-        staged = scanner.stage(tokens, lengths)
-        score_chunks.append(np.asarray(scanner.scan(profile, staged)))
+        score_chunks.append(batch_scores(tokens, lengths))
         headers.extend(r.header for r in batch.records)
         total_cells += int(lengths.astype(np.int64).sum()) * (
             hmm.model_length - 1
@@ -183,14 +200,99 @@ def _cmd_scan_stream(args) -> int:
     scores = np.concatenate(score_chunks)
     dt = time.perf_counter() - t0
     logger.info(
-        "streamed %d seqs x %s in %.3fs (%.2f GCUPS)",
-        len(headers), hmm.name, dt, total_cells / dt / 1e9,
+        "streamed %d seqs x %s (%s) in %.3fs (%.2f GCUPS)",
+        len(headers), hmm.name, args.stage, dt, total_cells / dt / 1e9,
     )
     db = FastaDatabase(
         records=[FastaRecord(h, "") for h in headers], rejected=[]
     )
     with _out_sink(args) as sink:
-        _report(hmm, db, scores, args, out=sink, stage="msv")
+        _report(hmm, db, scores, args, out=sink, stage=args.stage)
+    return 0
+
+
+def _cmd_search_stream(args) -> int:
+    """Streaming acceleration cascade: every FASTA batch runs the full
+    MSV -> Viterbi -> Forward pipeline, then host state is compacted to
+    that batch's MSV survivors — the only rows the search report prints
+    (_report_search iterates passed_msv). Host memory is one batch plus
+    the survivor set, so genome-scale searches stream. Per-sequence
+    p-values are database-size independent, so pass/fail and every
+    reported number match the whole-file scan exactly; survivor token
+    rows are retained only when --domains/--align need them."""
+    from .io.fastaio import FastaDatabase, FastaRecord
+    from .io.loader import stream_fasta
+    from .pipeline import SearchResult
+
+    hmm = load_profile(args.hmm, prefer=args.loader)
+    scanner = _make_scanner(args)
+    pipeline = _make_pipeline(
+        args, scanner, fast=getattr(args, "fast", False),
+        fused=getattr(args, "fused", False),
+    )
+    keep_tokens = bool(
+        getattr(args, "domains", False) or getattr(args, "align", False)
+    )
+    fields = [f.name for f in dataclasses.fields(SearchResult)]
+    kept: dict[str, list[np.ndarray]] = {f: [] for f in fields}
+    headers: list[str] = []
+    tok_rows: list[np.ndarray] = []
+    len_rows: list[int] = []
+    total_seqs = 0
+    total_cells = 0
+    n_vit = n_fwd = 0
+    t0 = time.perf_counter()
+    for batch in stream_fasta(args.fasta, args.stream, prefer=args.loader):
+        if not len(batch):
+            continue
+        tokens, lengths = batch.encode(pad_multiple=256)
+        staged = scanner.stage(tokens, lengths)
+        res = pipeline.search(hmm, staged, tokens, lengths)
+        surv = np.flatnonzero(res.passed_msv)
+        for f in fields:
+            kept[f].append(np.asarray(getattr(res, f))[surv])
+        recs = batch.records
+        headers.extend(recs[i].header for i in surv)
+        if keep_tokens:
+            for i in surv:
+                tok_rows.append(
+                    np.array(tokens[i, : int(lengths[i])], dtype=np.int32)
+                )
+                len_rows.append(int(lengths[i]))
+        total_seqs += len(batch)
+        n_vit += int(res.passed_viterbi.sum())
+        n_fwd += int(res.passed_forward.sum())
+        total_cells += int(lengths.astype(np.int64).sum()) * (
+            hmm.model_length - 1
+        )
+    if not total_seqs:
+        logger.warning("no valid sequences in %s", args.fasta)
+        return 1
+    merged = SearchResult(**{f: np.concatenate(kept[f]) for f in fields})
+    dt = time.perf_counter() - t0
+    logger.info(
+        "streamed search %s: %d seqs -> %d past MSV -> %d past Viterbi "
+        "-> %d hits (%.3fs, %.2f GCUPS msv-equivalent)",
+        hmm.name, total_seqs, len(headers), n_vit, n_fwd, dt,
+        total_cells / dt / 1e9,
+    )
+    if keep_tokens:
+        l_max = max(len_rows, default=1)
+        tokens_s = np.zeros((len(tok_rows), l_max), dtype=np.int32)
+        for r, row in enumerate(tok_rows):
+            tokens_s[r, : row.size] = row
+        lengths_s = np.asarray(len_rows, dtype=np.int32)
+    else:
+        tokens_s = lengths_s = None
+    db = FastaDatabase(
+        records=[FastaRecord(h, "") for h in headers], rejected=[]
+    )
+    with _out_sink(args) as sink:
+        _report_search(
+            hmm, db, merged, args, out=sink, tokens=tokens_s,
+            lengths=lengths_s, backend=scanner.backend,
+            interpret=scanner.interpret, mesh=scanner.mesh,
+        )
     return 0
 
 
@@ -838,8 +940,9 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=0,
         metavar="N",
-        help="msv stage: stream the FASTA in batches of N records "
-        "(bounded host memory for databases too large to load whole)",
+        help="stream the FASTA in batches of N records (bounded host "
+        "memory for databases too large to load whole; search keeps "
+        "only MSV survivors between batches)",
     )
     _add_common(scan)
     scan.set_defaults(fn=cmd_scan)

@@ -405,3 +405,76 @@ def test_cli_scan_stream_matches_whole(tmp_path, profile_dir, capsys):
         want = whole[r["target"]]
         assert r["score_nats"] == pytest.approx(want["score_nats"], abs=1e-4)
         assert r["evalue"] == pytest.approx(want["evalue"], rel=1e-6)
+
+
+def test_cli_scan_stream_p7_stages(tmp_path, profile_dir, capsys):
+    """--stream generalizes to the viterbi/forward single-score stages
+    (round 3: was msv-only)."""
+    rng = np.random.default_rng(3)
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    fasta = tmp_path / "db.fsa"
+    fasta.write_text(
+        "".join(
+            f">s{i}\n" + "".join(aas[k] for k in rng.integers(0, 20, 30 + 9 * i)) + "\n"
+            for i in range(5)
+        )
+    )
+    for stage in ("viterbi", "forward"):
+        args = ["scan", "--hmm", str(profile_dir / "100.hmm"),
+                "--fasta", str(fasta), "--backend", "xla",
+                "--stage", stage, "--format", "json"]
+        assert main(args) == 0
+        whole = {r["target"]: r for r in json.loads(capsys.readouterr().out)}
+        assert main(args + ["--stream", "2"]) == 0
+        streamed = json.loads(capsys.readouterr().out)
+        assert len(streamed) == len(whole) == 5
+        for r in streamed:
+            want = whole[r["target"]]
+            assert r["score_nats"] == pytest.approx(
+                want["score_nats"], abs=1e-4
+            )
+            assert r["evalue"] == pytest.approx(want["evalue"], rel=1e-6)
+
+
+def test_cli_search_stream_matches_whole(tmp_path, profile_dir, capsys):
+    """--stream with --stage search: per-batch compaction to MSV
+    survivors reproduces the whole-file cascade report — same row set,
+    scores, and domain envelopes — with hits split across batches."""
+    from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+    from hmm_fasta_viterbi_tpu.ops.traceback import consensus_string
+
+    hmm = __import__("hmm_fasta_viterbi_tpu").parse_hmm(
+        profile_dir / "100.hmm"
+    )
+    cons = consensus_string(P7Profile.from_profile(hmm))
+    rng = np.random.default_rng(11)
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    recs = [
+        f">rnd{i}\n" + "".join(aas[k] for k in rng.integers(0, 20, 60 + 17 * i))
+        for i in range(6)
+    ]
+    recs.insert(1, f">hitA\n{cons}")  # lands in stream batch 1 of 3
+    recs.insert(5, f">hitB\n{cons}")  # lands in stream batch 2 of 3
+    fasta = tmp_path / "db.fsa"
+    fasta.write_text("\n".join(recs) + "\n")
+    args = ["scan", "--hmm", str(profile_dir / "100.hmm"),
+            "--fasta", str(fasta), "--backend", "xla", "--stage", "search",
+            "--format", "json", "--domains"]
+    assert main(args) == 0
+    whole = {r["target"]: r for r in json.loads(capsys.readouterr().out)}
+    assert main(args + ["--stream", "3"]) == 0
+    streamed = json.loads(capsys.readouterr().out)
+    assert {r["target"] for r in streamed} == set(whole)
+    assert {r["target"] for r in streamed if r["hit"]} == {"hitA", "hitB"}
+    for r in streamed:
+        want = whole[r["target"]]
+        assert r["msv_bits"] == pytest.approx(want["msv_bits"], abs=1e-4)
+        assert r["forward_p"] == pytest.approx(want["forward_p"], rel=1e-3)
+        if r["hit"]:
+            assert r.get("ndom") == want.get("ndom")
+            assert (r.get("env_from"), r.get("env_to")) == (
+                want.get("env_from"), want.get("env_to")
+            )
+            assert [d["score_nats"] for d in r["domains"]] == pytest.approx(
+                [d["score_nats"] for d in want["domains"]], abs=1e-3
+            )
