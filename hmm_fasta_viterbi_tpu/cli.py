@@ -716,6 +716,112 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
                     )
 
 
+def _cmd_sweep_stream(args, paths) -> int:
+    """Streaming sweep: ONE pass over the FASTA; each batch is staged
+    once and scanned by every profile (msv: the stacked scan_many
+    kernel, i.e. the shard-outer staging economics of resumable_sweep;
+    search: the cascade per profile with per-batch compaction to MSV
+    survivors). Host memory is one batch plus per-profile results, so
+    a whole-Pfam sweep over an unbounded database streams."""
+    if (
+        getattr(args, "bucketed", False)
+        or _sp_mesh(args) is not None
+        or getattr(args, "checkpoint", None)
+    ):
+        logger.error(
+            "--stream does not compose with --bucketed, --checkpoint, "
+            "or sp>1"
+        )
+        return 2
+    from .io.fastaio import FastaDatabase, FastaRecord
+    from .io.loader import stream_fasta
+
+    scanner = _make_scanner(args)
+    hmms = [load_profile(p, prefer=args.loader) for p in paths]
+    t0 = time.perf_counter()
+    if getattr(args, "stage", "msv") == "search":
+        from .pipeline import SearchResult
+
+        pipeline = _make_pipeline(
+            args, scanner, fast=getattr(args, "fast", False)
+        )
+        fields = [f.name for f in dataclasses.fields(SearchResult)]
+        kept = {h.name: {f: [] for f in fields} for h in hmms}
+        surv_headers = {h.name: [] for h in hmms}
+        total_seqs = 0
+        for batch in stream_fasta(args.fasta, args.stream, prefer=args.loader):
+            if not len(batch):
+                continue
+            tokens, lengths = batch.encode(pad_multiple=256)
+            staged = scanner.stage(tokens, lengths)
+            recs = batch.records
+            for hmm in hmms:
+                res = pipeline.search(hmm, staged, tokens, lengths)
+                surv = np.flatnonzero(res.passed_msv)
+                for f in fields:
+                    kept[hmm.name][f].append(
+                        np.asarray(getattr(res, f))[surv]
+                    )
+                surv_headers[hmm.name].extend(recs[i].header for i in surv)
+            total_seqs += len(batch)
+        if not total_seqs:
+            logger.warning("no valid sequences in %s", args.fasta)
+            return 1
+        logger.info(
+            "streamed search sweep: %d profiles x %d seqs in %.3fs",
+            len(hmms), total_seqs, time.perf_counter() - t0,
+        )
+        with _out_sink(args) as sink, _json_accumulator(args, sink) as acc:
+            for hmm in hmms:
+                merged = SearchResult(
+                    **{f: np.concatenate(kept[hmm.name][f]) for f in fields}
+                )
+                db = FastaDatabase(
+                    records=[
+                        FastaRecord(h, "") for h in surv_headers[hmm.name]
+                    ],
+                    rejected=[],
+                )
+                _report_search(
+                    hmm, db, merged, args, out=sink, rows_sink=acc
+                )
+        return 0
+    profiles = [MSVProfile.from_profile(h) for h in hmms]
+    score_chunks: dict[str, list[np.ndarray]] = {p.name: [] for p in profiles}
+    headers: list[str] = []
+    total_cells = 0
+    for batch in stream_fasta(args.fasta, args.stream, prefer=args.loader):
+        if not len(batch):
+            continue
+        tokens, lengths = batch.encode(pad_multiple=256)
+        staged = scanner.stage(tokens, lengths)
+        results = scanner.scan_many(profiles, staged)
+        for p in profiles:
+            score_chunks[p.name].append(np.asarray(results[p.name]))
+        headers.extend(r.header for r in batch.records)
+        total_cells += int(lengths.astype(np.int64).sum()) * sum(
+            h.model_length - 1 for h in hmms
+        )
+    if not headers:
+        logger.warning("no valid sequences in %s", args.fasta)
+        return 1
+    dt = time.perf_counter() - t0
+    logger.info(
+        "streamed sweep: %d profiles x %d seqs in %.3fs (%.2f GCUPS)",
+        len(profiles), len(headers), dt, total_cells / dt / 1e9,
+    )
+    db = FastaDatabase(
+        records=[FastaRecord(h, "") for h in headers], rejected=[]
+    )
+    with _out_sink(args) as sink, _json_accumulator(args, sink) as acc:
+        for p in profiles:
+            _report(
+                p, db, np.concatenate(score_chunks[p.name]), args,
+                out=sink, rows_sink=acc,
+            )
+    return 0
+
+
 def cmd_sweep(args) -> int:
     if args.out:
         open(args.out, "w").close()  # fail fast on a bad --out path
@@ -723,6 +829,8 @@ def cmd_sweep(args) -> int:
     if not paths:
         logger.error("no .hmm files in %s", args.hmm_dir)
         return 1
+    if getattr(args, "stream", 0):
+        return _cmd_sweep_stream(args, paths)
     db = load_fasta(args.fasta, prefer=args.loader)
     sp_mesh = _sp_mesh(args)
     if sp_mesh is not None:
@@ -975,6 +1083,14 @@ def build_parser() -> argparse.ArgumentParser:
     sweep.add_argument(
         "--checkpoint-shard", type=int, default=4096, metavar="N",
         help="sequences per checkpoint shard (default 4096)",
+    )
+    sweep.add_argument(
+        "--stream",
+        type=int,
+        default=0,
+        metavar="N",
+        help="stream the FASTA in batches of N records: one database "
+        "pass scans every profile per batch (bounded host memory)",
     )
     _add_common(sweep)
     sweep.set_defaults(fn=cmd_sweep)

@@ -478,3 +478,31 @@ def test_cli_search_stream_matches_whole(tmp_path, profile_dir, capsys):
             assert [d["score_nats"] for d in r["domains"]] == pytest.approx(
                 [d["score_nats"] for d in want["domains"]], abs=1e-3
             )
+
+
+def test_cli_sweep_stream_matches_whole(tmp_path, profile_dir, fasta_dir,
+                                        capsys):
+    """sweep --stream: one streamed database pass, every profile scanned
+    per batch, matches the whole-file sweep (msv and search stages)."""
+    import shutil
+
+    hmm_dir = tmp_path / "profiles"
+    hmm_dir.mkdir()
+    for stem in ("100", "200"):
+        shutil.copy(profile_dir / f"{stem}.hmm", hmm_dir)
+    fasta = str(fasta_dir / "fasta_like_example.fsa")
+    for stage in ("msv", "search"):
+        args = ["sweep", "--hmm-dir", str(hmm_dir), "--fasta", fasta,
+                "--backend", "xla", "--stage", stage, "--format", "json"]
+        assert main(args) == 0
+        whole = json.loads(capsys.readouterr().out)
+        assert main(args + ["--stream", "2"]) == 0
+        streamed = json.loads(capsys.readouterr().out)
+        key = "score_nats" if stage == "msv" else "msv_bits"
+        w = {(r["profile"], r["target"]): r[key] for r in whole}
+        s = {(r["profile"], r["target"]): r[key] for r in streamed}
+        assert set(w) == set(s)
+        for k in w:
+            assert s[k] == pytest.approx(w[k], abs=1e-4)
+    # invalid compositions are usage errors
+    assert main(args + ["--stream", "2", "--bucketed"]) == 2
