@@ -292,6 +292,7 @@ def _cmd_search_stream(args) -> int:
             hmm, db, merged, args, out=sink, tokens=tokens_s,
             lengths=lengths_s, backend=scanner.backend,
             interpret=scanner.interpret, mesh=scanner.mesh,
+            n_targets=total_seqs,
         )
     return 0
 
@@ -590,8 +591,14 @@ def _domain_scores(
 
 def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
                    rows_sink=None, backend: str = "xla",
-                   interpret: bool = False, mesh=None) -> None:
+                   interpret: bool = False, mesh=None,
+                   n_targets: int | None = None) -> None:
+    """``n_targets`` is the TRUE database size for E-values — streamed
+    searches pass it explicitly since their ``db`` holds only the MSV
+    survivors (whole-file callers default to len(db))."""
     out = out if out is not None else sys.stdout
+    n_db = n_targets if n_targets is not None else len(db)
+    evals = stats.evalue(result.forward_pvalues, n_db)
     want_domains = bool(getattr(args, "domains", False)) and tokens is not None
     want_align = bool(getattr(args, "align", False)) and tokens is not None
     p7 = p7_align = None
@@ -603,6 +610,12 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
             p7 = p7_align
     order = np.flatnonzero(result.passed_msv)
     order = order[np.argsort(-np.nan_to_num(result.forward_scores[order], nan=-np.inf))]
+    if args.top:
+        order = order[: args.top]
+    if args.max_evalue is not None:
+        # NaN E-values (Forward never ran on the row) drop too: a
+        # sequence rejected mid-cascade cannot satisfy an E cutoff
+        order = order[evals[order] <= args.max_evalue]
     envelopes = (
         _hit_envelopes(
             p7, tokens, lengths, result.hits,
@@ -628,6 +641,7 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
             "msv_p": float(result.msv_pvalues[i]),
             "viterbi_p": float(result.viterbi_pvalues[i]),
             "forward_p": float(result.forward_pvalues[i]),
+            "evalue": float(evals[i]),
             "hit": bool(result.passed_forward[i]),
         }
         if want_domains and result.passed_forward[i]:
@@ -682,14 +696,16 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
             json.dump(rows, out, indent=1)
             out.write("\n")
     else:
-        cols = "# target\tprofile\tmsv_bits\tmsv_p\tviterbi_p\tforward_p\thit"
+        cols = ("# target\tprofile\tmsv_bits\tmsv_p\tviterbi_p\tforward_p"
+                "\tevalue\thit")
         if want_domains:
             cols += "\tenv_from\tenv_to\tndom\tdom_scores"
         out.write(cols + "\n")
         for r in rows:
             line = (
                 f"{r['target']}\t{r['profile']}\t{r['msv_bits']}\t{r['msv_p']:.3e}\t"
-                f"{r['viterbi_p']:.3e}\t{r['forward_p']:.3e}\t{int(r['hit'])}"
+                f"{r['viterbi_p']:.3e}\t{r['forward_p']:.3e}\t"
+                f"{r['evalue']:.3e}\t{int(r['hit'])}"
             )
             if want_domains:
                 doms = ";".join(
@@ -783,7 +799,8 @@ def _cmd_sweep_stream(args, paths) -> int:
                     rejected=[],
                 )
                 _report_search(
-                    hmm, db, merged, args, out=sink, rows_sink=acc
+                    hmm, db, merged, args, out=sink, rows_sink=acc,
+                    n_targets=total_seqs,
                 )
         return 0
     profiles = [MSVProfile.from_profile(h) for h in hmms]

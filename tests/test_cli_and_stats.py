@@ -480,6 +480,52 @@ def test_cli_search_stream_matches_whole(tmp_path, profile_dir, capsys):
             )
 
 
+def test_cli_search_evalue_top_cutoff(tmp_path, profile_dir, capsys):
+    """Search reports carry E-values = forward_p x TRUE database size
+    (streamed searches use the total scanned, not the survivor count);
+    --top and --max-evalue filter the report rows."""
+    from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+    from hmm_fasta_viterbi_tpu.ops.traceback import consensus_string
+
+    hmm = __import__("hmm_fasta_viterbi_tpu").parse_hmm(
+        profile_dir / "100.hmm"
+    )
+    cons = consensus_string(P7Profile.from_profile(hmm))
+    rng = np.random.default_rng(5)
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    recs = [f">hitA\n{cons}", f">hitB\n{cons[:80]}"]
+    recs += [
+        f">rnd{i}\n" + "".join(aas[k] for k in rng.integers(0, 20, 120))
+        for i in range(4)
+    ]
+    fasta = tmp_path / "db.fsa"
+    fasta.write_text("\n".join(recs) + "\n")
+    args = ["scan", "--hmm", str(profile_dir / "100.hmm"),
+            "--fasta", str(fasta), "--backend", "xla", "--stage", "search",
+            "--format", "json"]
+    assert main(args) == 0
+    whole = json.loads(capsys.readouterr().out)
+    hits = {r["target"]: r for r in whole if r["hit"]}
+    assert set(hits) == {"hitA", "hitB"}
+    for r in hits.values():  # E = p x N with N = 6 (whole database)
+        assert r["evalue"] == pytest.approx(r["forward_p"] * 6, rel=1e-9)
+    # streamed: same E-values (true total, not the 2 survivors)
+    assert main(args + ["--stream", "2"]) == 0
+    streamed = {r["target"]: r for r in json.loads(capsys.readouterr().out)}
+    for t, r in hits.items():
+        assert streamed[t]["evalue"] == pytest.approx(r["evalue"], rel=1e-6)
+    # --top 1 keeps only the best-Forward row
+    assert main(args + ["--top", "1"]) == 0
+    assert len(json.loads(capsys.readouterr().out)) == 1
+    # --max-evalue drops rows above the cutoff (and NaN rows)
+    cut = float(hits["hitA"]["evalue"]) * 1.5
+    assert main(args + ["--max-evalue", str(cut)]) == 0
+    kept = json.loads(capsys.readouterr().out)
+    assert {r["target"] for r in kept} <= {"hitA", "hitB"}
+    assert all(r["evalue"] <= cut for r in kept)
+    assert "hitA" in {r["target"] for r in kept}
+
+
 def test_cli_sweep_stream_matches_whole(tmp_path, profile_dir, fasta_dir,
                                         capsys):
     """sweep --stream: one streamed database pass, every profile scanned
