@@ -950,6 +950,56 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """hmmstat-shaped profile summary: one row per .hmm with the parsed
+    header fields (NAME/LENG) and the three STATS LOCAL calibration
+    pairs the P-values are computed from (models.stats). --consensus
+    adds the model consensus string (ops.traceback.consensus_string)."""
+    if bool(args.hmm) == bool(args.hmm_dir):
+        logger.error("info needs exactly one of --hmm / --hmm-dir")
+        return 2
+    paths = (
+        [pathlib.Path(args.hmm)]
+        if args.hmm
+        else sorted(pathlib.Path(args.hmm_dir).glob("*.hmm"))
+    )
+    if not paths:
+        logger.error("no .hmm files in %s", args.hmm_dir)
+        return 1
+    rows = []
+    for p in paths:
+        hmm = load_profile(p, prefer=args.loader)
+        row = {
+            "file": p.name,
+            "name": hmm.name,
+            "leng": hmm.model_length - 1,
+            "model_length": hmm.model_length,
+            "msv_mu": hmm.stats_local_msv_mu,
+            "msv_lambda": hmm.stats_local_msv_lambda,
+            "viterbi_mu": hmm.stats_local_viterbi_mu,
+            "viterbi_lambda": hmm.stats_local_viterbi_lambda,
+            "forward_tau": hmm.stats_local_forward_theta,
+            "forward_lambda": hmm.stats_local_forward_lambda,
+        }
+        if args.consensus:
+            from .models.p7 import P7Profile
+            from .ops.traceback import consensus_string
+
+            row["consensus"] = consensus_string(P7Profile.from_profile(hmm))
+        rows.append(row)
+    with _out_sink(args) as sink:
+        out = sink if sink is not None else sys.stdout
+        if args.format == "json":
+            json.dump(rows, out, indent=1)
+            out.write("\n")
+        else:
+            cols = list(rows[0].keys())
+            out.write("# " + "\t".join(cols) + "\n")
+            for r in rows:
+                out.write("\t".join(str(r[c]) for c in cols) + "\n")
+    return 0
+
+
 def cmd_align(args) -> int:
     """hmmalign-shaped utility: Viterbi-align EVERY sequence of a FASTA
     to one profile (no cascade/thresholds — use `scan --stage search
@@ -1127,6 +1177,22 @@ def build_parser() -> argparse.ArgumentParser:
         "--loader", default="auto", choices=["auto", "native", "python"]
     )
     aln.set_defaults(fn=cmd_align)
+
+    inf = sub.add_parser(
+        "info", help="profile summary: NAME/LENG/STATS per .hmm (hmmstat-shaped)"
+    )
+    inf.add_argument("--hmm", default=None, help="one HMMER3 .hmm profile")
+    inf.add_argument("--hmm-dir", default=None, help="a profile directory")
+    inf.add_argument(
+        "--consensus", action="store_true",
+        help="also emit the model consensus string per profile",
+    )
+    inf.add_argument("--format", default="tsv", choices=["tsv", "json"])
+    inf.add_argument("--out", default=None)
+    inf.add_argument(
+        "--loader", default="auto", choices=["auto", "native", "python"]
+    )
+    inf.set_defaults(fn=cmd_info)
 
     gen = sub.add_parser("generate", help="generate a random protein FASTA corpus")
     gen.add_argument("--out", default="random_FASTA.fsa")

@@ -526,6 +526,34 @@ def test_cli_search_evalue_top_cutoff(tmp_path, profile_dir, capsys):
     assert "hitA" in {r["target"] for r in kept}
 
 
+def test_cli_info(profile_dir, capsys):
+    """`info` (hmmstat-shaped): parsed NAME/LENG/STATS per profile,
+    matching the parser's golden fields; --consensus adds the model
+    consensus string."""
+    hv = __import__("hmm_fasta_viterbi_tpu")
+    hmm = hv.parse_hmm(profile_dir / "100.hmm")
+    assert main(["info", "--hmm", str(profile_dir / "100.hmm"),
+                 "--format", "json", "--consensus"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["name"] == "Pfam-B_229" and r["leng"] == 100
+    assert r["model_length"] == hmm.model_length == 101
+    assert r["msv_mu"] == pytest.approx(hmm.stats_local_msv_mu)
+    assert r["forward_lambda"] == pytest.approx(
+        hmm.stats_local_forward_lambda
+    )
+    assert len(r["consensus"]) == 100
+    # directory form: one row per profile, tsv
+    assert main(["info", "--hmm-dir", str(profile_dir)]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("# file\tname\tleng")
+    assert len(out.strip().splitlines()) == 1 + 24
+    # exactly one of --hmm / --hmm-dir
+    assert main(["info", "--hmm", "x", "--hmm-dir", "y"]) == 2
+    assert main(["info"]) == 2
+
+
 def test_cli_sweep_stream_matches_whole(tmp_path, profile_dir, fasta_dir,
                                         capsys):
     """sweep --stream: one streamed database pass, every profile scanned
