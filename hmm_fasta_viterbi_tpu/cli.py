@@ -1016,15 +1016,41 @@ def cmd_align(args) -> int:
 
     hmm = load_profile(args.hmm, prefer=args.loader)
     p7 = P7Profile.from_profile(hmm)
-    db = load_fasta(args.fasta, prefer=args.loader)
-    tokens, lengths = db.encode()
+    if getattr(args, "stream", 0):
+        # bounded host memory: one FASTA batch of raw tokens at a time
+        # (alignment output is written/accumulated per record either way)
+        from .io.loader import stream_fasta
+
+        def units():
+            for batch in stream_fasta(
+                args.fasta, args.stream, prefer=args.loader
+            ):
+                if not len(batch):
+                    continue
+                toks, lens = batch.encode()
+                recs = batch.records
+                for i in range(len(batch)):
+                    yield (
+                        recs[i].header or f"seq{i}",
+                        toks[i, : int(lens[i])],
+                    )
+    else:
+        db = load_fasta(args.fasta, prefer=args.loader)
+        tokens, lengths = db.encode()
+
+        def units():
+            for i in range(len(db)):
+                yield (
+                    db.records[i].header or f"seq{i}",
+                    tokens[i, : int(lengths[i])],
+                )
+
     rows = []
     msa_entries = []
     with _out_sink(args) as sink:
         out = sink if sink is not None else sys.stdout
-        for i in range(len(db)):
-            name = db.records[i].header or f"seq{i}"
-            score, doms = domain_alignments(p7, tokens[i, : int(lengths[i])])
+        for name, seq_tokens in units():
+            score, doms = domain_alignments(p7, seq_tokens)
             if args.format == "json":
                 rows.append({
                     "target": name,
@@ -1175,6 +1201,14 @@ def build_parser() -> argparse.ArgumentParser:
     aln.add_argument("--out", default=None)
     aln.add_argument(
         "--loader", default="auto", choices=["auto", "native", "python"]
+    )
+    aln.add_argument(
+        "--stream",
+        type=int,
+        default=0,
+        metavar="N",
+        help="stream the FASTA in batches of N records (bounded host "
+        "memory)",
     )
     aln.set_defaults(fn=cmd_align)
 

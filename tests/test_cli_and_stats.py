@@ -526,6 +526,27 @@ def test_cli_search_evalue_top_cutoff(tmp_path, profile_dir, capsys):
     assert "hitA" in {r["target"] for r in kept}
 
 
+def test_cli_align_stream_matches_whole(tmp_path, profile_dir, capsys):
+    """align --stream: identical output to the whole-file align."""
+    from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+    from hmm_fasta_viterbi_tpu.ops.traceback import consensus_string
+
+    hmm = __import__("hmm_fasta_viterbi_tpu").parse_hmm(
+        profile_dir / "100.hmm"
+    )
+    cons = consensus_string(P7Profile.from_profile(hmm))
+    fasta = tmp_path / "db.fsa"
+    fasta.write_text(
+        f">a\n{cons}\n>b\n{cons[:60]}\n>c\n{cons[20:]}\n"
+    )
+    args = ["align", "--hmm", str(profile_dir / "100.hmm"),
+            "--fasta", str(fasta), "--format", "json"]
+    assert main(args) == 0
+    whole = capsys.readouterr().out
+    assert main(args + ["--stream", "2"]) == 0
+    assert capsys.readouterr().out == whole
+
+
 def test_cli_info(profile_dir, capsys):
     """`info` (hmmstat-shaped): parsed NAME/LENG/STATS per profile,
     matching the parser's golden fields; --consensus adds the model
