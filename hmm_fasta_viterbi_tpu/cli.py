@@ -652,14 +652,25 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
                 )
             else:
                 row["env_from"], row["env_to"], row["ndom"] = 0, 0, 0
-            row["domains"] = [
-                {
-                    "env_from": f,
-                    "env_to": t,
-                    "score_nats": round(dom_scores.get((int(i), k), 0.0), 4),
-                }
-                for k, (f, t) in enumerate(segs)
-            ]
+            doms_out = []
+            for k, (f, t) in enumerate(segs):
+                s = dom_scores.get((int(i), k), 0.0)
+                # per-domain i-Evalue: the envelope-rescored Forward
+                # score through the same exp-tail calibration x the
+                # true database size (HMMER's independent E-value shape)
+                dp = float(stats.forward_pvalue(np.float64(s), hmm))
+                doms_out.append(
+                    {
+                        "env_from": f,
+                        "env_to": t,
+                        "score_nats": round(float(s), 4),
+                        "score_bits": round(
+                            float(stats.nats_to_bits(s)), 4
+                        ),
+                        "ievalue": dp * n_db,
+                    }
+                )
+            row["domains"] = doms_out
         if want_align and result.passed_forward[i]:
             # host-side Viterbi traceback per reported hit (the chips
             # scan millions; the few survivors get O(L*M) NumPy

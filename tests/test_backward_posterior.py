@@ -204,6 +204,34 @@ def test_cli_search_domains(tmp_path, profile_dir, capsys):
         span, score = d.split(":")
         assert float(score) > 0, lines[0]  # each copy is a strong match
 
+    # JSON rows: per-domain bits + i-Evalue (envelope-rescored Forward
+    # through the exp-tail calibration x true database size)
+    import json as _json
+    import math
+
+    from hmm_fasta_viterbi_tpu.models import stats as _stats
+
+    rc = main(
+        [
+            "scan", "--stage", "search", "--domains", "--backend", "xla",
+            "--format", "json",
+            "--hmm", str(profile_dir / "100.hmm"),
+            "--fasta", str(fasta2),
+        ]
+    )
+    assert rc == 0
+    rows = _json.loads(capsys.readouterr().out)
+    hit = next(r for r in rows if r["target"] == "double")
+    assert len(hit["domains"]) == hit["ndom"] >= 2
+    for d in hit["domains"]:
+        assert d["score_bits"] == pytest.approx(
+            d["score_nats"] / math.log(2), abs=2e-4
+        )
+        want_p = float(
+            _stats.forward_pvalue(np.float64(d["score_nats"]), hmm)
+        )
+        assert d["ievalue"] == pytest.approx(want_p * 1, rel=1e-2)
+
 
 def test_backward_xla_batched_matches_forward(p7_100):
     """Batched device backward: beta_0(N) == forward, ragged + empty."""
