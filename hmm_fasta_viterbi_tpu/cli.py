@@ -211,18 +211,97 @@ def _cmd_scan_stream(args) -> int:
     return 0
 
 
-def _cmd_search_stream(args) -> int:
-    """Streaming acceleration cascade: every FASTA batch runs the full
-    MSV -> Viterbi -> Forward pipeline, then host state is compacted to
-    that batch's MSV survivors — the only rows the search report prints
+@dataclasses.dataclass
+class _StreamedSearch:
+    """Per-profile aggregate of a streamed cascade: MSV-survivor rows of
+    every SearchResult field plus the survivor headers/tokens."""
+
+    result: object  # SearchResult over survivors only
+    headers: list
+    tokens: np.ndarray | None  # [S, Lmax] survivor tokens (keep_tokens)
+    lengths: np.ndarray | None
+    n_vit: int
+    n_fwd: int
+
+
+def _stream_search(args, scanner, pipeline, hmms, keep_tokens: bool):
+    """ONE pass over the streamed FASTA, running the full cascade for
+    every profile per batch and compacting host state to that batch's
+    MSV survivors — the only rows the search report prints
     (_report_search iterates passed_msv). Host memory is one batch plus
-    the survivor set, so genome-scale searches stream. Per-sequence
+    the survivor sets, so genome-scale searches stream. Per-sequence
     p-values are database-size independent, so pass/fail and every
     reported number match the whole-file scan exactly; survivor token
-    rows are retained only when --domains/--align need them."""
-    from .io.fastaio import FastaDatabase, FastaRecord
+    rows are retained only when --domains/--align need them.
+
+    Returns ({profile_name: _StreamedSearch}, total_seqs, total_cells).
+    """
     from .io.loader import stream_fasta
     from .pipeline import SearchResult
+
+    fields = [f.name for f in dataclasses.fields(SearchResult)]
+    agg = {
+        h.name: {
+            "kept": {f: [] for f in fields}, "headers": [],
+            "tok_rows": [], "len_rows": [], "n_vit": 0, "n_fwd": 0,
+        }
+        for h in hmms
+    }
+    total_seqs = 0
+    total_cells = 0
+    for batch in stream_fasta(args.fasta, args.stream, prefer=args.loader):
+        if not len(batch):
+            continue
+        tokens, lengths = batch.encode(pad_multiple=256)
+        staged = scanner.stage(tokens, lengths)
+        recs = batch.records
+        for hmm in hmms:
+            res = pipeline.search(hmm, staged, tokens, lengths)
+            a = agg[hmm.name]
+            surv = np.flatnonzero(res.passed_msv)
+            for f in fields:
+                a["kept"][f].append(np.asarray(getattr(res, f))[surv])
+            a["headers"].extend(recs[i].header for i in surv)
+            if keep_tokens:
+                for i in surv:
+                    a["tok_rows"].append(
+                        np.array(tokens[i, : int(lengths[i])], dtype=np.int32)
+                    )
+                    a["len_rows"].append(int(lengths[i]))
+            a["n_vit"] += int(res.passed_viterbi.sum())
+            a["n_fwd"] += int(res.passed_forward.sum())
+        total_seqs += len(batch)
+        total_cells += int(lengths.astype(np.int64).sum()) * sum(
+            h.model_length - 1 for h in hmms
+        )
+    out = {}
+    for hmm in hmms:
+        a = agg[hmm.name]
+        merged = (
+            SearchResult(
+                **{f: np.concatenate(a["kept"][f]) for f in fields}
+            )
+            if total_seqs
+            else None
+        )
+        if keep_tokens:
+            l_max = max(a["len_rows"], default=1)
+            toks = np.zeros((len(a["tok_rows"]), l_max), dtype=np.int32)
+            for r, row in enumerate(a["tok_rows"]):
+                toks[r, : row.size] = row
+            lens = np.asarray(a["len_rows"], dtype=np.int32)
+        else:
+            toks = lens = None
+        out[hmm.name] = _StreamedSearch(
+            result=merged, headers=a["headers"], tokens=toks,
+            lengths=lens, n_vit=a["n_vit"], n_fwd=a["n_fwd"],
+        )
+    return out, total_seqs, total_cells
+
+
+def _cmd_search_stream(args) -> int:
+    """scan --stage search --stream: see _stream_search."""
+    from .io.fastaio import FastaDatabase, FastaRecord
 
     hmm = load_profile(args.hmm, prefer=args.loader)
     scanner = _make_scanner(args)
@@ -233,64 +312,28 @@ def _cmd_search_stream(args) -> int:
     keep_tokens = bool(
         getattr(args, "domains", False) or getattr(args, "align", False)
     )
-    fields = [f.name for f in dataclasses.fields(SearchResult)]
-    kept: dict[str, list[np.ndarray]] = {f: [] for f in fields}
-    headers: list[str] = []
-    tok_rows: list[np.ndarray] = []
-    len_rows: list[int] = []
-    total_seqs = 0
-    total_cells = 0
-    n_vit = n_fwd = 0
     t0 = time.perf_counter()
-    for batch in stream_fasta(args.fasta, args.stream, prefer=args.loader):
-        if not len(batch):
-            continue
-        tokens, lengths = batch.encode(pad_multiple=256)
-        staged = scanner.stage(tokens, lengths)
-        res = pipeline.search(hmm, staged, tokens, lengths)
-        surv = np.flatnonzero(res.passed_msv)
-        for f in fields:
-            kept[f].append(np.asarray(getattr(res, f))[surv])
-        recs = batch.records
-        headers.extend(recs[i].header for i in surv)
-        if keep_tokens:
-            for i in surv:
-                tok_rows.append(
-                    np.array(tokens[i, : int(lengths[i])], dtype=np.int32)
-                )
-                len_rows.append(int(lengths[i]))
-        total_seqs += len(batch)
-        n_vit += int(res.passed_viterbi.sum())
-        n_fwd += int(res.passed_forward.sum())
-        total_cells += int(lengths.astype(np.int64).sum()) * (
-            hmm.model_length - 1
-        )
+    per_hmm, total_seqs, total_cells = _stream_search(
+        args, scanner, pipeline, [hmm], keep_tokens
+    )
     if not total_seqs:
         logger.warning("no valid sequences in %s", args.fasta)
         return 1
-    merged = SearchResult(**{f: np.concatenate(kept[f]) for f in fields})
+    agg = per_hmm[hmm.name]
     dt = time.perf_counter() - t0
     logger.info(
         "streamed search %s: %d seqs -> %d past MSV -> %d past Viterbi "
         "-> %d hits (%.3fs, %.2f GCUPS msv-equivalent)",
-        hmm.name, total_seqs, len(headers), n_vit, n_fwd, dt,
+        hmm.name, total_seqs, len(agg.headers), agg.n_vit, agg.n_fwd, dt,
         total_cells / dt / 1e9,
     )
-    if keep_tokens:
-        l_max = max(len_rows, default=1)
-        tokens_s = np.zeros((len(tok_rows), l_max), dtype=np.int32)
-        for r, row in enumerate(tok_rows):
-            tokens_s[r, : row.size] = row
-        lengths_s = np.asarray(len_rows, dtype=np.int32)
-    else:
-        tokens_s = lengths_s = None
     db = FastaDatabase(
-        records=[FastaRecord(h, "") for h in headers], rejected=[]
+        records=[FastaRecord(h, "") for h in agg.headers], rejected=[]
     )
     with _out_sink(args) as sink:
         _report_search(
-            hmm, db, merged, args, out=sink, tokens=tokens_s,
-            lengths=lengths_s, backend=scanner.backend,
+            hmm, db, agg.result, args, out=sink, tokens=agg.tokens,
+            lengths=agg.lengths, backend=scanner.backend,
             interpret=scanner.interpret, mesh=scanner.mesh,
             n_targets=total_seqs,
         )
@@ -616,9 +659,12 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
         # NaN E-values (Forward never ran on the row) drop too: a
         # sequence rejected mid-cascade cannot satisfy an E cutoff
         order = order[evals[order] <= args.max_evalue]
+    # decode only the hits that survive --top/--max-evalue: envelopes
+    # and rescoring are O(L*M) device work per hit
+    reported_hits = order[result.passed_forward[order]]
     envelopes = (
         _hit_envelopes(
-            p7, tokens, lengths, result.hits,
+            p7, tokens, lengths, reported_hits,
             backend=backend, interpret=interpret, mesh=mesh,
         )
         if want_domains
@@ -767,30 +813,12 @@ def _cmd_sweep_stream(args, paths) -> int:
     hmms = [load_profile(p, prefer=args.loader) for p in paths]
     t0 = time.perf_counter()
     if getattr(args, "stage", "msv") == "search":
-        from .pipeline import SearchResult
-
         pipeline = _make_pipeline(
             args, scanner, fast=getattr(args, "fast", False)
         )
-        fields = [f.name for f in dataclasses.fields(SearchResult)]
-        kept = {h.name: {f: [] for f in fields} for h in hmms}
-        surv_headers = {h.name: [] for h in hmms}
-        total_seqs = 0
-        for batch in stream_fasta(args.fasta, args.stream, prefer=args.loader):
-            if not len(batch):
-                continue
-            tokens, lengths = batch.encode(pad_multiple=256)
-            staged = scanner.stage(tokens, lengths)
-            recs = batch.records
-            for hmm in hmms:
-                res = pipeline.search(hmm, staged, tokens, lengths)
-                surv = np.flatnonzero(res.passed_msv)
-                for f in fields:
-                    kept[hmm.name][f].append(
-                        np.asarray(getattr(res, f))[surv]
-                    )
-                surv_headers[hmm.name].extend(recs[i].header for i in surv)
-            total_seqs += len(batch)
+        per_hmm, total_seqs, _cells = _stream_search(
+            args, scanner, pipeline, hmms, keep_tokens=False
+        )
         if not total_seqs:
             logger.warning("no valid sequences in %s", args.fasta)
             return 1
@@ -800,17 +828,13 @@ def _cmd_sweep_stream(args, paths) -> int:
         )
         with _out_sink(args) as sink, _json_accumulator(args, sink) as acc:
             for hmm in hmms:
-                merged = SearchResult(
-                    **{f: np.concatenate(kept[hmm.name][f]) for f in fields}
-                )
+                agg = per_hmm[hmm.name]
                 db = FastaDatabase(
-                    records=[
-                        FastaRecord(h, "") for h in surv_headers[hmm.name]
-                    ],
+                    records=[FastaRecord(h, "") for h in agg.headers],
                     rejected=[],
                 )
                 _report_search(
-                    hmm, db, merged, args, out=sink, rows_sink=acc,
+                    hmm, db, agg.result, args, out=sink, rows_sink=acc,
                     n_targets=total_seqs,
                 )
         return 0
@@ -1061,7 +1085,14 @@ def cmd_align(args) -> int:
     with _out_sink(args) as sink:
         out = sink if sink is not None else sys.stdout
         for name, seq_tokens in units():
-            score, doms = domain_alignments(p7, seq_tokens)
+            try:
+                score, doms = domain_alignments(p7, seq_tokens)
+            except MemoryError as exc:
+                # one over-budget sequence (L*M traceback DP) must not
+                # discard the whole run's output (scan --align degrades
+                # the same way)
+                logger.warning("alignment skipped for %s: %s", name, exc)
+                score, doms = float("nan"), []
             if args.format == "json":
                 rows.append({
                     "target": name,

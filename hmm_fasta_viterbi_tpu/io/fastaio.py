@@ -74,16 +74,25 @@ class FastaDatabase:
         ops.xla_scan / ops.pallas_msv; SURVEY.md §7 hard part (e)).
         """
         lengths = self.lengths
-        max_len = int(lengths.max()) if len(lengths) else 0
-        if pad_to is not None:
-            if pad_to < max_len:
-                raise ValueError(f"pad_to={pad_to} < longest sequence {max_len}")
-            max_len = pad_to
-        max_len = max(1, -(-max_len // pad_multiple) * pad_multiple)
+        max_len = padded_width(
+            int(lengths.max()) if len(lengths) else 0, pad_to, pad_multiple
+        )
         tokens = np.full((len(self.records), max_len), pad_token, dtype=np.int32)
         for i, rec in enumerate(self.records):
             tokens[i, : len(rec)] = encode_sequence(rec.sequence)
         return tokens, lengths
+
+
+def padded_width(max_len: int, pad_to: int | None, pad_multiple: int) -> int:
+    """Shared padding contract for :meth:`FastaDatabase.encode` and the
+    native ``EncodedFastaBatch.encode`` — stream_fasta yields either type
+    interchangeably, so the compiled-shape rounding must stay identical
+    across loaders."""
+    if pad_to is not None:
+        if pad_to < max_len:
+            raise ValueError(f"pad_to={pad_to} < longest sequence {max_len}")
+        max_len = pad_to
+    return max(1, -(-max_len // pad_multiple) * pad_multiple)
 
 
 def parse_fasta(path: str | os.PathLike) -> FastaDatabase:

@@ -97,8 +97,28 @@ def _load():
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.fp_abi_version.restype = ctypes.c_int32
         if lib.fp_abi_version() != _ABI_VERSION:
-            _load_error = "fastparse ABI mismatch"
-            raise NativeUnavailable(_load_error)
+            # stale build from an older checkout: rebuild once instead
+            # of disabling the native loader for the process lifetime
+            # (delete first — make would consider the old .so up to date)
+            logger.info("fastparse ABI %d != %d, rebuilding",
+                        lib.fp_abi_version(), _ABI_VERSION)
+            import _ctypes
+
+            handle = lib._handle
+            del lib
+            _ctypes.dlclose(handle)  # or dlopen would return the stale mapping
+            try:
+                _LIB_PATH.unlink()
+            except OSError:
+                pass
+            if not _build():
+                _load_error = "fastparse ABI mismatch and rebuild failed"
+                raise NativeUnavailable(_load_error)
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.fp_abi_version.restype = ctypes.c_int32
+            if lib.fp_abi_version() != _ABI_VERSION:
+                _load_error = "fastparse ABI mismatch after rebuild"
+                raise NativeUnavailable(_load_error)
         lib.fp_parse_hmm.argtypes = [ctypes.c_char_p, ctypes.POINTER(_FpHmm)]
         lib.fp_parse_hmm.restype = ctypes.c_int32
         lib.fp_free_hmm.argtypes = [ctypes.POINTER(_FpHmm)]
@@ -229,13 +249,12 @@ class EncodedFastaBatch:
         pad_token: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Same contract as FastaDatabase.encode (fastaio.py)."""
+        from .fastaio import padded_width
+
         lengths = self.lengths
-        max_len = int(lengths.max()) if len(lengths) else 0
-        if pad_to is not None:
-            if pad_to < max_len:
-                raise ValueError(f"pad_to={pad_to} < longest sequence {max_len}")
-            max_len = pad_to
-        max_len = max(1, -(-max_len // pad_multiple) * pad_multiple)
+        max_len = padded_width(
+            int(lengths.max()) if len(lengths) else 0, pad_to, pad_multiple
+        )
         tokens = np.full((len(self.headers), max_len), pad_token, dtype=np.int32)
         # per-row slice copies: memcpy-bound, measured 13x FASTER than a
         # single vectorized fancy-index scatter (whose int64 index arrays
@@ -290,6 +309,17 @@ def iter_fasta_batches_native(path, batch_records: int = 8192):
                 headers = raw.decode().split("\0")[:b]
             finally:
                 lib.fp_free_fasta(ctypes.byref(out))
+            if out.num_rejected:
+                # parity with the Python parser's reference-mandated
+                # reject-with-warning semantics (fastaio._classify_record;
+                # FASTA_protein_sequences.cpp:29-41). The C reader keeps
+                # only a count, not the rejected headers, so the warning
+                # is per batch rather than per record.
+                logger.warning(
+                    "%s: rejected %d sequence(s) with invalid symbols "
+                    "(use --loader python for per-record detail)",
+                    path, int(out.num_rejected),
+                )
             if b or out.num_rejected:
                 yield EncodedFastaBatch(
                     headers=headers, flat=flat, offsets=offsets,
@@ -306,7 +336,13 @@ def parse_fasta_native(path) -> FastaDatabase:
     """
     from .alphabet import decode_sequence
 
-    tokens, lengths, headers, _ = parse_fasta_arrays_native(path)
+    tokens, lengths, headers, num_rejected = parse_fasta_arrays_native(path)
+    if num_rejected:
+        logger.warning(
+            "%s: rejected %d sequence(s) with invalid symbols "
+            "(use --loader python for per-record detail)",
+            path, num_rejected,
+        )
     records = [
         FastaRecord(header=h, sequence=decode_sequence(tokens[i, : lengths[i]]))
         for i, h in enumerate(headers)

@@ -885,6 +885,25 @@ class SearchPipeline:
         # ~one dispatch instead of ~six. Falls back to the staged path
         # on capacity overflow / non-pallas / mesh scanners.
         self.fused = fused
+        # derived MSVProfile/P7Profile per hmm object (pinned, same
+        # stale-id discipline as MSVScanner._profile_cache): streamed
+        # scans/sweeps call search() once per batch, and handing the
+        # scanner a FRESH derived profile each call would grow its
+        # id-keyed device caches by one pinned entry (profile pack +
+        # device arrays) per batch — an unbounded leak that also
+        # re-uploads the profile every batch
+        self._derived_cache: dict = {}
+
+    def _derived(self, hmm):
+        hit = self._derived_cache.get(id(hmm))
+        if hit is not None and hit[0] is hmm:
+            return hit[1], hit[2]
+        from .models.p7 import P7Profile
+
+        msvp = MSVProfile.from_profile(hmm)
+        p7 = P7Profile.from_profile(hmm)
+        self._derived_cache[id(hmm)] = (hmm, msvp, p7)
+        return msvp, p7
 
     def _p7_fns(self):
         """Viterbi/Forward implementations following the scanner backend
@@ -1057,7 +1076,6 @@ class SearchPipeline:
         """Run the cascade. ``hmm`` is a ProfileHMM; ``tokens``/``lengths``
         are the host-side arrays used to rescore survivor subsets."""
         from .models import stats
-        from .models.p7 import P7Profile
 
         if self.fused:
             fused_result = self._search_fused(hmm, staged)
@@ -1067,7 +1085,7 @@ class SearchPipeline:
         viterbi_fn, forward_fn = self._p7_fns()
 
         b = staged.num_sequences
-        msv_profile = MSVProfile.from_profile(hmm)
+        msv_profile, p7 = self._derived(hmm)
         if self.fast_msv and self.scanner.backend == "pallas":
             # upper-bound prefilter, then exact rescore of candidates:
             # a sequence the filter rejects is exactly rejected too
@@ -1107,7 +1125,6 @@ class SearchPipeline:
 
         idx = np.flatnonzero(passed_msv)
         if idx.size:
-            p7 = P7Profile.from_profile(hmm)
             if self.fast_viterbi and self.scanner.backend == "pallas":
                 # upper-bound prefilter: its p-values LOWER-bound the
                 # exact ones (pvalue is decreasing in score), so a

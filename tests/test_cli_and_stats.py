@@ -601,3 +601,33 @@ def test_cli_sweep_stream_matches_whole(tmp_path, profile_dir, fasta_dir,
             assert s[k] == pytest.approx(w[k], abs=1e-4)
     # invalid compositions are usage errors
     assert main(args + ["--stream", "2", "--bucketed"]) == 2
+
+
+def test_cli_align_survives_overbudget_sequence(tmp_path, profile_dir,
+                                                capsys, monkeypatch):
+    """One over-budget sequence (traceback DP MemoryError) must not
+    discard the align run's output (round-3 review)."""
+    from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+    from hmm_fasta_viterbi_tpu.ops import traceback as tb
+    from hmm_fasta_viterbi_tpu.ops.traceback import consensus_string
+
+    hmm = __import__("hmm_fasta_viterbi_tpu").parse_hmm(
+        profile_dir / "100.hmm"
+    )
+    cons = consensus_string(P7Profile.from_profile(hmm))
+    fasta = tmp_path / "db.fsa"
+    fasta.write_text(f">good\n{cons}\n>huge\n{cons[:50]}\n>good2\n{cons}\n")
+    real = tb.domain_alignments
+
+    def fake(p7, tokens, **kw):
+        if len(tokens) == 50:
+            raise MemoryError("traceback DP over budget")
+        return real(p7, tokens, **kw)
+
+    monkeypatch.setattr("hmm_fasta_viterbi_tpu.ops.traceback.domain_alignments", fake)
+    assert main(["align", "--hmm", str(profile_dir / "100.hmm"),
+                 "--fasta", str(fasta), "--format", "json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert [r["target"] for r in rows] == ["good", "huge", "good2"]
+    assert rows[1]["alignments"] == [] and rows[1]["viterbi_nats"] is None
+    assert rows[0]["alignments"] and rows[2]["alignments"]

@@ -135,3 +135,64 @@ def test_loader_prefer_modes(profile_dir, fasta_dir):
         fasta_dir / "fasta_like_example.fsa", prefer="native"
     )
     assert len(headers) == 4 and lengths.tolist() == [18, 18, 15, 130]
+
+
+def test_native_stale_abi_rebuilds(tmp_path, monkeypatch):
+    """A stale-ABI libfastparse.so must trigger one rebuild, not disable
+    the native loader for the process lifetime (round-3 review)."""
+    import shutil
+    import subprocess
+
+    from hmm_fasta_viterbi_tpu.io import native
+
+    try:
+        native._load()
+    except native.NativeUnavailable:
+        pytest.skip("native library unavailable")
+    real_path = native._LIB_PATH
+    stub_src = tmp_path / "stub.c"
+    stub_src.write_text("int fp_abi_version(void){return -1;}\n")
+    stub = tmp_path / "libfastparse.so"
+    subprocess.run(
+        ["cc", "-shared", "-fPIC", "-o", str(stub), str(stub_src)],
+        check=True,
+    )
+    calls = []
+
+    def fake_build():
+        calls.append(1)
+        shutil.copy(real_path, stub)
+        return True
+
+    monkeypatch.setattr(native, "_LIB_PATH", stub)
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_error", None)
+    monkeypatch.setattr(native, "_build", fake_build)
+    lib = native._load()
+    assert calls == [1]  # exactly one rebuild attempt
+    assert lib.fp_abi_version() == native._ABI_VERSION
+
+
+def test_native_stream_warns_on_rejects(tmp_path, caplog):
+    """The native streaming reader must surface rejected sequences with
+    a warning (reference reject-with-warning semantics), not silently
+    drop them (round-3 review)."""
+    import logging
+
+    from hmm_fasta_viterbi_tpu.io import native
+
+    if not native.native_available():
+        pytest.skip("native library unavailable")
+    f = tmp_path / "rej.fsa"
+    f.write_text(">ok\nACDEF\n>bad\nACDZF\n>ok2\nGHIKL\n")
+    with caplog.at_level(logging.WARNING, logger="hmm_fasta_viterbi_tpu.io.native"):
+        batches = list(native.iter_fasta_batches_native(f, 10))
+    assert sum(len(b) for b in batches) == 2
+    assert sum(b.num_rejected for b in batches) == 1
+    assert any("rejected 1" in r.message for r in caplog.records)
+    # whole-file native parse warns too
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="hmm_fasta_viterbi_tpu.io.native"):
+        db = native.parse_fasta_native(f)
+    assert len(db) == 2
+    assert any("rejected 1" in r.message for r in caplog.records)

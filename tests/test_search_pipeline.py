@@ -304,3 +304,25 @@ def test_fused_forward_threshold_boundary_contract(hmm100, mixed_batch):
             np.testing.assert_array_equal(
                 fused_r.passed_forward, staged_r.passed_forward
             )
+
+
+def test_search_caches_bounded_across_batches(hmm100, mixed_batch):
+    """Streamed scans call pipeline.search once per FASTA batch with the
+    SAME hmm object; the derived MSV/P7 profiles must be memoized so the
+    scanner's id-keyed device caches stay bounded (round-3 review: a
+    fresh derived profile per batch pinned one profile pack + device
+    arrays per batch, an unbounded leak that also re-uploaded the
+    profile every batch)."""
+    tokens, lengths = mixed_batch
+    pipeline = SearchPipeline(MSVScanner(backend="xla"))
+    sizes = []
+    for _ in range(4):
+        staged = pipeline.scanner.stage(tokens, lengths)
+        result = pipeline.search(hmm100, staged, tokens, lengths)
+        sizes.append(
+            (len(pipeline.scanner._profile_cache),
+             len(pipeline._derived_cache))
+        )
+    assert result.passed_forward[2]  # the consensus row still hits
+    assert sizes[0] == sizes[-1], sizes  # no growth batch over batch
+    assert sizes[-1][1] == 1  # one hmm -> one derived entry
