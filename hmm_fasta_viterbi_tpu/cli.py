@@ -789,7 +789,7 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
                     )
 
 
-def _cmd_sweep_stream(args, paths) -> int:
+def _cmd_sweep_stream(args, hmms) -> int:
     """Streaming sweep: ONE pass over the FASTA; each batch is staged
     once and scanned by every profile (msv: the stacked scan_many
     kernel, i.e. the shard-outer staging economics of resumable_sweep;
@@ -810,7 +810,6 @@ def _cmd_sweep_stream(args, paths) -> int:
     from .io.loader import stream_fasta
 
     scanner = _make_scanner(args)
-    hmms = [load_profile(p, prefer=args.loader) for p in paths]
     t0 = time.perf_counter()
     if getattr(args, "stage", "msv") == "search":
         pipeline = _make_pipeline(
@@ -874,15 +873,32 @@ def _cmd_sweep_stream(args, paths) -> int:
     return 0
 
 
+def _load_sweep_profiles(args) -> list | None:
+    """The sweep's profile collection: --hmm-dir (directory of per-model
+    files, the reference layout) or --hmm-db (ONE concatenated
+    //-separated database file, the hmmscan Pfam.hmm shape)."""
+    hmm_db = getattr(args, "hmm_db", None)
+    if bool(hmm_db) == bool(args.hmm_dir):
+        logger.error("sweep needs exactly one of --hmm-dir / --hmm-db")
+        return None
+    from .io.loader import load_profiles
+
+    hmms = load_profiles(hmm_db or args.hmm_dir, prefer=args.loader)
+    if not hmms:
+        logger.error("no profiles in %s", hmm_db or args.hmm_dir)
+    return hmms
+
+
 def cmd_sweep(args) -> int:
     if args.out:
         open(args.out, "w").close()  # fail fast on a bad --out path
-    paths = sorted(pathlib.Path(args.hmm_dir).glob("*.hmm"))
-    if not paths:
-        logger.error("no .hmm files in %s", args.hmm_dir)
+    hmms = _load_sweep_profiles(args)
+    if hmms is None:
+        return 2
+    if not hmms:
         return 1
     if getattr(args, "stream", 0):
-        return _cmd_sweep_stream(args, paths)
+        return _cmd_sweep_stream(args, hmms)
     db = load_fasta(args.fasta, prefer=args.loader)
     sp_mesh = _sp_mesh(args)
     if sp_mesh is not None:
@@ -904,7 +920,6 @@ def cmd_sweep(args) -> int:
         # hmmscan-shaped sweep: the full cascade per profile against the
         # one staged database (optionally with the bf16 MSV prefilter)
         pipeline = _make_pipeline(args, scanner, fast=getattr(args, "fast", False))
-        hmms = [load_profile(p, prefer=args.loader) for p in paths]
         if getattr(args, "checkpoint", None):
             # resumable cascade sweep: per-(profile, shard) SearchResults
             # publish atomically; kill + rerun skips completed chunks
@@ -943,10 +958,7 @@ def cmd_sweep(args) -> int:
         # atomically; kill + rerun skips completed chunks
         from .runtime.checkpoint import ScanCheckpoint, resumable_sweep
 
-        profiles = [
-            MSVProfile.from_profile(load_profile(p, prefer=args.loader))
-            for p in paths
-        ]
+        profiles = [MSVProfile.from_profile(h) for h in hmms]
         results = resumable_sweep(
             scanner, profiles, tokens, lengths,
             ScanCheckpoint(args.checkpoint),
@@ -966,10 +978,7 @@ def cmd_sweep(args) -> int:
             "bucketed staging: %d buckets, %.0f%% padded cells saved",
             len(bucketed.buckets), 100 * bucketed.padded_cells_saved,
         )
-    profiles = [
-        MSVProfile.from_profile(load_profile(p, prefer=args.loader))
-        for p in paths
-    ]
+    profiles = [MSVProfile.from_profile(h) for h in hmms]
     if bucketed is not None:
         # stacked multi-profile kernel per (M bucket x length bucket):
         # the sweep24 optimization composed with ragged staging
@@ -990,22 +999,35 @@ def cmd_info(args) -> int:
     header fields (NAME/LENG) and the three STATS LOCAL calibration
     pairs the P-values are computed from (models.stats). --consensus
     adds the model consensus string (ops.traceback.consensus_string)."""
-    if bool(args.hmm) == bool(args.hmm_dir):
-        logger.error("info needs exactly one of --hmm / --hmm-dir")
+    hmm_db = getattr(args, "hmm_db", None)
+    if sum(bool(x) for x in (args.hmm, args.hmm_dir, hmm_db)) != 1:
+        logger.error("info needs exactly one of --hmm / --hmm-dir / --hmm-db")
         return 2
-    paths = (
-        [pathlib.Path(args.hmm)]
-        if args.hmm
-        else sorted(pathlib.Path(args.hmm_dir).glob("*.hmm"))
-    )
-    if not paths:
+    if args.hmm_dir:
+        units = [
+            (p.name, load_profile(p, prefer=args.loader))
+            for p in sorted(pathlib.Path(args.hmm_dir).glob("*.hmm"))
+        ]
+    elif hmm_db:
+        from .io.hmmio import parse_hmm_multi
+
+        units = [
+            (pathlib.Path(hmm_db).name, h) for h in parse_hmm_multi(hmm_db)
+        ]
+    else:
+        units = [
+            (
+                pathlib.Path(args.hmm).name,
+                load_profile(args.hmm, prefer=args.loader),
+            )
+        ]
+    if not units:
         logger.error("no .hmm files in %s", args.hmm_dir)
         return 1
     rows = []
-    for p in paths:
-        hmm = load_profile(p, prefer=args.loader)
+    for fname, hmm in units:
         row = {
-            "file": p.name,
+            "file": fname,
             "name": hmm.name,
             "leng": hmm.model_length - 1,
             "model_length": hmm.model_length,
@@ -1190,8 +1212,18 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(scan)
     scan.set_defaults(fn=cmd_scan)
 
-    sweep = sub.add_parser("sweep", help="scan a FASTA database against a profile directory")
-    sweep.add_argument("--hmm-dir", required=True)
+    sweep = sub.add_parser(
+        "sweep",
+        help="scan a FASTA database against a profile directory or a "
+        "concatenated .hmm database",
+    )
+    sweep.add_argument("--hmm-dir", default=None,
+                       help="directory of per-model .hmm files")
+    sweep.add_argument(
+        "--hmm-db", default=None, metavar="FILE",
+        help="ONE concatenated //-separated .hmm database (the hmmscan "
+        "Pfam.hmm shape)",
+    )
     sweep.add_argument(
         "--stage",
         default="msv",
@@ -1259,6 +1291,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     inf.add_argument("--hmm", default=None, help="one HMMER3 .hmm profile")
     inf.add_argument("--hmm-dir", default=None, help="a profile directory")
+    inf.add_argument(
+        "--hmm-db", default=None, metavar="FILE",
+        help="a concatenated //-separated .hmm database",
+    )
     inf.add_argument(
         "--consensus", action="store_true",
         help="also emit the model consensus string per profile",

@@ -144,6 +144,44 @@ def parse_hmm(
     return parse_hmm_text(text, star_as_zero_prob=star_as_zero_prob)
 
 
+def parse_hmm_multi(
+    path: str | os.PathLike,
+    *,
+    star_as_zero_prob: bool = False,
+) -> list[ProfileHMM]:
+    """Parse a concatenated HMMER3 profile database (the hmmscan
+    ``Pfam.hmm`` shape: models separated by ``//`` terminator lines).
+
+    The reference parses exactly one model per file and never consumes
+    the ``//`` tail (SURVEY.md §3.4); real HMMER databases concatenate
+    thousands. Single-model files return a one-element list.
+    """
+    with open(path, "r") as f:
+        text = f.read()
+    return parse_hmm_multi_text(text, star_as_zero_prob=star_as_zero_prob)
+
+
+def parse_hmm_multi_text(
+    text: str, *, star_as_zero_prob: bool = False
+) -> list[ProfileHMM]:
+    import re
+
+    profiles = []
+    # split at a line-leading terminator; the reference fixtures end
+    # with "//" and NO trailing newline, so naive concatenation puts
+    # the next model's header on the terminator line — keep everything
+    # after the two slashes in the following chunk
+    for chunk in re.split(r"(?m)^//", text):
+        if not chunk.strip():
+            continue
+        profiles.append(
+            parse_hmm_text(chunk, star_as_zero_prob=star_as_zero_prob)
+        )
+    if not profiles:
+        raise HMMParseError("no profiles in .hmm text")
+    return profiles
+
+
 def parse_hmm_text(text: str, *, star_as_zero_prob: bool = False) -> ProfileHMM:
     _check_alphabet(text)
     lines = iter(text.splitlines())

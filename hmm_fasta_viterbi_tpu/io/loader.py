@@ -32,6 +32,22 @@ def load_profile(path, prefer: Prefer = "auto") -> ProfileHMM:
     return parse_hmm(path)
 
 
+def load_profiles(path, prefer: Prefer = "auto") -> list[ProfileHMM]:
+    """Load a profile collection: a directory of per-model ``.hmm``
+    files (the reference's layout, native fast path per file) or ONE
+    concatenated ``//``-separated database file (the hmmscan
+    ``Pfam.hmm`` shape; Python parser — the C parser is single-model)."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    if p.is_dir():
+        files = sorted(p.glob("*.hmm"))
+        return [load_profile(f, prefer=prefer) for f in files]
+    from .hmmio import parse_hmm_multi
+
+    return parse_hmm_multi(p)
+
+
 def load_fasta(path, prefer: Prefer = "auto") -> FastaDatabase:
     if prefer != "python":
         try:

@@ -631,3 +631,38 @@ def test_cli_align_survives_overbudget_sequence(tmp_path, profile_dir,
     assert [r["target"] for r in rows] == ["good", "huge", "good2"]
     assert rows[1]["alignments"] == [] and rows[1]["viterbi_nats"] is None
     assert rows[0]["alignments"] and rows[2]["alignments"]
+
+
+def test_cli_sweep_hmm_db(tmp_path, profile_dir, fasta_dir, capsys):
+    """sweep --hmm-db (one concatenated //-separated database file)
+    produces the same report as --hmm-dir over the same models; info
+    --hmm-db lists every model."""
+    db = tmp_path / "pfam.hmm"
+    db.write_text(
+        (profile_dir / "100.hmm").read_text()
+        + (profile_dir / "200.hmm").read_text()
+    )
+    hmm_dir = tmp_path / "profiles"
+    hmm_dir.mkdir()
+    import shutil
+
+    for stem in ("100", "200"):
+        shutil.copy(profile_dir / f"{stem}.hmm", hmm_dir)
+    fasta = str(fasta_dir / "fasta_like_example.fsa")
+    common = ["--fasta", fasta, "--backend", "xla", "--format", "json"]
+    assert main(["sweep", "--hmm-dir", str(hmm_dir)] + common) == 0
+    from_dir = json.loads(capsys.readouterr().out)
+    assert main(["sweep", "--hmm-db", str(db)] + common) == 0
+    from_db = json.loads(capsys.readouterr().out)
+    key = lambda r: (r["profile"], r["target"])
+    assert {key(r): r["score_nats"] for r in from_db} == {
+        key(r): r["score_nats"] for r in from_dir
+    }
+    # exactly one source is a usage error
+    assert main(["sweep", "--hmm-dir", str(hmm_dir), "--hmm-db", str(db)]
+                + common) == 2
+    assert main(["sweep"] + common) == 2
+    # info over the concatenated database
+    assert main(["info", "--hmm-db", str(db), "--format", "json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert [r["name"] for r in rows] == ["Pfam-B_229", "Pfam-B_603"]

@@ -149,3 +149,35 @@ def test_exact_f32_representation(hmm100, profile_dir):
     assert np.array_equal(again.match_emissions, hmm100.match_emissions)
     assert np.array_equal(again.insert_emissions, hmm100.insert_emissions)
     assert np.array_equal(again.transitions, hmm100.transitions)
+
+
+def test_parse_hmm_multi_concatenated(profile_dir, tmp_path):
+    """parse_hmm_multi: a //-separated concatenated database (the
+    hmmscan Pfam.hmm shape) parses into the same profiles as the
+    individual files; single-model files give a one-element list."""
+    import numpy as np
+
+    from hmm_fasta_viterbi_tpu.io.hmmio import (
+        HMMParseError,
+        parse_hmm,
+        parse_hmm_multi,
+        parse_hmm_multi_text,
+    )
+
+    a = (profile_dir / "100.hmm").read_text()
+    b = (profile_dir / "200.hmm").read_text()
+    db = tmp_path / "pfam.hmm"
+    db.write_text(a + b)
+    multi = parse_hmm_multi(db)
+    singles = [parse_hmm(profile_dir / f"{n}.hmm") for n in ("100", "200")]
+    assert [h.name for h in multi] == [h.name for h in singles]
+    for m, s in zip(multi, singles):
+        assert m.model_length == s.model_length
+        np.testing.assert_array_equal(m.match_emissions, s.match_emissions)
+        np.testing.assert_array_equal(m.transitions, s.transitions)
+        assert m.stats_local_msv_mu == s.stats_local_msv_mu
+    assert len(parse_hmm_multi(profile_dir / "100.hmm")) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(HMMParseError):
+        parse_hmm_multi_text("//\n")
