@@ -513,12 +513,23 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
         fn = vit_fn if args.stage == "viterbi" else fwd_fn
         scores = np.asarray(fn(p7, tokens, lengths))
     else:  # search: full MSV -> Viterbi -> Forward cascade
-        staged = scanner.stage(tokens, lengths)
         pipeline = _make_pipeline(
             args, scanner, fast=getattr(args, "fast", False),
             fused=getattr(args, "fused", False),
         )
-        result = pipeline.search(hmm, staged, tokens, lengths)
+        if getattr(args, "bucketed", False):
+            if getattr(args, "fused", False):
+                logger.error("--fused does not compose with --bucketed")
+                return 2
+            bucketed = scanner.stage_bucketed(tokens, lengths)
+            logger.info(
+                "bucketed staging: %d buckets, %.0f%% padded cells saved",
+                len(bucketed.buckets), 100 * bucketed.padded_cells_saved,
+            )
+            result = pipeline.search_bucketed(hmm, bucketed, tokens, lengths)
+        else:
+            staged = scanner.stage(tokens, lengths)
+            result = pipeline.search(hmm, staged, tokens, lengths)
         dt = time.perf_counter() - t0
         logger.info(
             "search %s: %d seqs -> %d past MSV -> %d past Viterbi -> %d hits (%.3fs)",
@@ -940,10 +951,21 @@ def cmd_sweep(args) -> int:
                         rows_sink=acc,
                     )
             return 0
-        staged = scanner.stage(tokens, lengths)
+        if getattr(args, "bucketed", False):
+            bucketed = scanner.stage_bucketed(tokens, lengths)
+            logger.info(
+                "bucketed staging: %d buckets, %.0f%% padded cells saved",
+                len(bucketed.buckets), 100 * bucketed.padded_cells_saved,
+            )
+            run = lambda hmm: pipeline.search_bucketed(
+                hmm, bucketed, tokens, lengths
+            )
+        else:
+            staged = scanner.stage(tokens, lengths)
+            run = lambda hmm: pipeline.search(hmm, staged, tokens, lengths)
         with _out_sink(args) as sink, _json_accumulator(args, sink) as acc:
             for hmm in hmms:
-                result = pipeline.search(hmm, staged, tokens, lengths)
+                result = run(hmm)
                 logger.info(
                     "search %s: %d past MSV -> %d past Viterbi -> %d hits",
                     hmm.name,
@@ -1198,7 +1220,8 @@ def build_parser() -> argparse.ArgumentParser:
     scan.add_argument(
         "--bucketed",
         action="store_true",
-        help="length-bucketed staging for ragged databases (msv stage)",
+        help="length-bucketed staging for ragged databases "
+        "(msv/search stages)",
     )
     scan.add_argument(
         "--stream",
@@ -1239,7 +1262,8 @@ def build_parser() -> argparse.ArgumentParser:
     sweep.add_argument(
         "--bucketed",
         action="store_true",
-        help="length-bucketed staging for ragged databases (msv stage)",
+        help="length-bucketed staging for ragged databases "
+        "(msv/search stages)",
     )
     sweep.add_argument(
         "--checkpoint", default=None, metavar="DIR",

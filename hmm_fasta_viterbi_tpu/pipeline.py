@@ -1082,9 +1082,6 @@ class SearchPipeline:
             if fused_result is not None:
                 return fused_result
 
-        viterbi_fn, forward_fn = self._p7_fns()
-
-        b = staged.num_sequences
         msv_profile, p7 = self._derived(hmm)
         if self.fast_msv and self.scanner.backend == "pallas":
             # upper-bound prefilter, then exact rescore of candidates:
@@ -1098,6 +1095,50 @@ class SearchPipeline:
                 msv_scores[cand] = np.asarray(self.scanner.scan(msv_profile, sub))
         else:
             msv_scores = np.asarray(self.scanner.scan(msv_profile, staged))
+        return self._finish_cascade(hmm, p7, msv_scores, tokens, lengths)
+
+    def search_bucketed(
+        self, hmm, bucketed, tokens: np.ndarray, lengths: np.ndarray
+    ) -> SearchResult:
+        """The cascade over a length-bucketed staging
+        (MSVScanner.stage_bucketed): the MSV stage runs per bucket,
+        bounding ragged-padding waste on length-skewed databases; the
+        p7 stages restage survivors compactly exactly as in search().
+        --fast's bf16 MSV prefilter runs per bucket too. The fused
+        single-program cascade needs one staged database and is not
+        offered here."""
+        from .models import stats
+
+        msv_profile, p7 = self._derived(hmm)
+        if self.fast_msv and self.scanner.backend == "pallas":
+            msv_scores = np.empty(bucketed.num_sequences, dtype=np.float32)
+            for staged, idx in zip(bucketed.buckets, bucketed.order):
+                msv_scores[idx] = np.asarray(
+                    self.scanner.scan_filter(msv_profile, staged)
+                )
+            cand = np.flatnonzero(
+                stats.msv_pvalue(msv_scores, hmm) <= self.msv_p
+            )
+            if cand.size:
+                l_max = max(int(lengths[cand].max()), 1)
+                sub = self.scanner.stage(tokens[cand, :l_max], lengths[cand])
+                msv_scores[cand] = np.asarray(
+                    self.scanner.scan(msv_profile, sub)
+                )
+        else:
+            msv_scores = self.scanner.scan_bucketed(msv_profile, bucketed)
+        return self._finish_cascade(hmm, p7, msv_scores, tokens, lengths)
+
+    def _finish_cascade(
+        self, hmm, p7, msv_scores: np.ndarray,
+        tokens: np.ndarray, lengths: np.ndarray,
+    ) -> SearchResult:
+        """Viterbi/Forward rescoring of MSV survivors (shared by the
+        staged, bucketed, and prefiltered entry points)."""
+        from .models import stats
+
+        viterbi_fn, forward_fn = self._p7_fns()
+        b = len(msv_scores)
         msv_pv = stats.msv_pvalue(msv_scores, hmm)
         passed_msv = msv_pv <= self.msv_p
 

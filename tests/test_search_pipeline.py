@@ -326,3 +326,38 @@ def test_search_caches_bounded_across_batches(hmm100, mixed_batch):
     assert result.passed_forward[2]  # the consensus row still hits
     assert sizes[0] == sizes[-1], sizes  # no growth batch over batch
     assert sizes[-1][1] == 1  # one hmm -> one derived entry
+
+
+def test_search_bucketed_matches_staged(hmm100, tmp_path, capsys):
+    """scan --stage search --bucketed: the bucketed MSV stage feeds the
+    same cascade — identical rows to the unbucketed search on a ragged
+    database (round 3: --bucketed was msv-only)."""
+    import json
+
+    rng = np.random.default_rng(13)
+    cons = consensus_sequence(hmm100)
+    recs = [FastaRecord(f"r{i}", "".join(
+        AMINO_ACIDS[k] for k in rng.integers(0, 20, int(l))
+    )) for i, l in enumerate(rng.integers(40, 400, 12))]
+    recs.append(FastaRecord("hit", cons))
+    fasta = tmp_path / "ragged.fsa"
+    write_fasta(fasta, recs)
+    from conftest import PROFILE_DIR
+
+    base = ["scan", "--hmm", str(PROFILE_DIR / "100.hmm"),
+            "--fasta", str(fasta), "--backend", "xla",
+            "--stage", "search", "--format", "json"]
+    assert main(base) == 0
+    plain = {r["target"]: r for r in json.loads(capsys.readouterr().out)}
+    assert main(base + ["--bucketed"]) == 0
+    bucketed = {r["target"]: r for r in json.loads(capsys.readouterr().out)}
+    assert set(plain) == set(bucketed)
+    assert any(r["hit"] for r in bucketed.values())
+    for t in plain:
+        assert bucketed[t]["msv_bits"] == pytest.approx(
+            plain[t]["msv_bits"], abs=1e-4
+        )
+        assert bucketed[t]["hit"] == plain[t]["hit"]
+        assert bucketed[t]["evalue"] == pytest.approx(
+            plain[t]["evalue"], rel=1e-6
+        )
