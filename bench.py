@@ -17,6 +17,7 @@ numbers): 1 GCUPS == one 14.7 ms reference benchmark pass.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import pathlib
 import sys
@@ -41,6 +42,40 @@ from hmm_fasta_viterbi_tpu.bench.harness import (  # noqa: E402
 )
 from hmm_fasta_viterbi_tpu.pipeline import MSVScanner, _round_up  # noqa: E402
 from hmm_fasta_viterbi_tpu.ops.pallas_msv import LANES, PAD_TOKEN  # noqa: E402
+
+
+def _probe_child(q):  # top-level: multiprocessing spawn must pickle it
+    try:
+        import jax
+
+        np.asarray(jax.numpy.ones((8, 8)).sum())
+        q.put(True)
+    except Exception as e:  # pragma: no cover - defensive
+        q.put(f"{type(e).__name__}: {e}")
+
+
+def device_probe_error(timeout_s: float = 240.0) -> str | None:
+    """None when a tiny op completes in a subprocess; else a
+    description. When the remote-TPU tunnel is down, jax CLIENT INIT
+    HANGS rather than erroring — an unattended bench run would then
+    record nothing at all. The probe converts that hang into a JSON
+    error line the driver can archive. Skippable: BENCH_SKIP_PROBE=1."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    p = ctx.Process(target=_probe_child, args=(q,), daemon=True)
+    p.start()
+    p.join(timeout_s)
+    if p.is_alive():
+        p.terminate()
+        p.join(10)
+        return f"device probe timed out after {timeout_s:.0f}s (tunnel down?)"
+    try:
+        ok = q.get(timeout=5)
+    except Exception:  # pragma: no cover - defensive
+        ok = "probe subprocess died without reporting"
+    return None if ok is True else f"device probe failed: {ok}"
 
 
 def stage_random_device(scanner: MSVScanner, batch: int, seq_len: int):
@@ -155,6 +190,22 @@ def main() -> int:
     if args.quick:
         args.batch = min(args.batch, 128)
         args.reps = 2
+
+    if not os.environ.get("BENCH_SKIP_PROBE"):
+        probe_err = device_probe_error()
+        if probe_err:
+            # emit a well-formed artifact line instead of hanging: value
+            # 0 + errors marks "no measurement", not a perf regression
+            print(json.dumps({
+                "metric": "GCUPS_M1400",
+                "value": 0.0,
+                "unit": "GCUPS",
+                "vs_baseline": 0.0,
+                "detail": {"primary": None, "extras": [],
+                           "errors": [probe_err]},
+            }))
+            print(f"# {probe_err}", file=sys.stderr)
+            return 1
 
     scanner = MSVScanner(backend=args.impl)
     print(f"# impl={scanner.backend} batch={args.batch} L={args.seq_len}", file=sys.stderr)
