@@ -1162,6 +1162,41 @@ def cmd_align(args) -> int:
     return 0
 
 
+def cmd_emit(args) -> int:
+    """hmmemit-shaped: sample sequences from the core profile (the
+    generative walk over the parsed transition/emission rows —
+    models.sample), or its consensus with --consensus. The profile is
+    parsed with star_as_zero_prob=True so '*' transitions are
+    impossibilities, not the reference's exp(-0)=1 quirk."""
+    from .io.alphabet import decode_sequence
+    from .io.fastaio import FastaRecord, write_fasta
+    from .io.hmmio import parse_hmm
+
+    hmm = parse_hmm(args.hmm, star_as_zero_prob=True)
+    if args.consensus:
+        from .models.p7 import P7Profile
+        from .ops.traceback import consensus_string
+
+        seqs = [consensus_string(P7Profile.from_profile(hmm))]
+        names = [f"{hmm.name}-consensus"]
+    else:
+        from .models.sample import sample_sequences
+
+        toks = sample_sequences(hmm, args.count, args.seed)
+        seqs = [decode_sequence(t) for t in toks]
+        names = [f"{hmm.name}-sample{i + 1}" for i in range(len(seqs))]
+    records = [FastaRecord(n, s) for n, s in zip(names, seqs)]
+    if args.out:
+        write_fasta(args.out, records, args.width)
+        print(f"wrote {len(records)} sequence(s) to {args.out}")
+    else:
+        for r in records:
+            sys.stdout.write(f">{r.header}\n")
+            for i in range(0, len(r.sequence), args.width):
+                sys.stdout.write(r.sequence[i : i + args.width] + "\n")
+    return 0
+
+
 def cmd_generate(args) -> int:
     # lazily import: tools/ is not a package
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tools"))
@@ -1329,6 +1364,20 @@ def build_parser() -> argparse.ArgumentParser:
         "--loader", default="auto", choices=["auto", "native", "python"]
     )
     inf.set_defaults(fn=cmd_info)
+
+    emt = sub.add_parser(
+        "emit", help="sample sequences from a profile (hmmemit-shaped)"
+    )
+    emt.add_argument("--hmm", required=True, help="HMMER3 .hmm profile")
+    emt.add_argument("--count", type=int, default=10)
+    emt.add_argument("--seed", type=int, default=None)
+    emt.add_argument(
+        "--consensus", action="store_true",
+        help="emit the consensus sequence instead of stochastic samples",
+    )
+    emt.add_argument("--out", default=None, help="write FASTA to a file")
+    emt.add_argument("--width", type=int, default=70)
+    emt.set_defaults(fn=cmd_emit)
 
     gen = sub.add_parser("generate", help="generate a random protein FASTA corpus")
     gen.add_argument("--out", default="random_FASTA.fsa")
