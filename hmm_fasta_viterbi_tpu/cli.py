@@ -1162,6 +1162,31 @@ def cmd_align(args) -> int:
     return 0
 
 
+def cmd_build(args) -> int:
+    """hmmbuild-shaped: construct a profile from an MSA (Stockholm with
+    #=GC RF — the shape `align --format stockholm` emits — or aligned
+    FASTA), calibrate its STATS by simulation with this engine's own
+    kernels, and write an HMMER3/b .hmm file readable by both this
+    parser and the reference's (io.hmmwrite round-trip contract)."""
+    from .io.hmmwrite import write_hmm
+    from .io.msaio import read_msa
+    from .models.build import build_profile, calibrate_profile
+
+    names, rows, rf = read_msa(args.msa)
+    name = args.name or pathlib.Path(args.msa).stem
+    hmm = build_profile(rows, rf=rf, name=name)
+    hmm = calibrate_profile(hmm, seed=args.seed)
+    write_hmm(hmm, args.out)
+    logger.info(
+        "built %s: LENG %d from %d aligned rows (%s match columns), "
+        "calibrated MSV mu=%.2f",
+        name, hmm.model_length - 1, len(rows),
+        "RF" if rf else "gap-majority", hmm.stats_local_msv_mu,
+    )
+    print(f"wrote {name} (LENG {hmm.model_length - 1}) to {args.out}")
+    return 0
+
+
 def cmd_emit(args) -> int:
     """hmmemit-shaped: sample sequences from the core profile (the
     generative walk over the parsed transition/emission rows —
@@ -1364,6 +1389,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--loader", default="auto", choices=["auto", "native", "python"]
     )
     inf.set_defaults(fn=cmd_info)
+
+    bld = sub.add_parser(
+        "build", help="build + calibrate a profile from an MSA (hmmbuild-shaped)"
+    )
+    bld.add_argument("--msa", required=True,
+                     help="Stockholm (RF-annotated) or aligned FASTA")
+    bld.add_argument("--out", required=True, help="output .hmm path")
+    bld.add_argument("--name", default=None,
+                     help="profile NAME (default: MSA file stem)")
+    bld.add_argument("--seed", type=int, default=0,
+                     help="calibration simulation seed")
+    bld.set_defaults(fn=cmd_build)
 
     emt = sub.add_parser(
         "emit", help="sample sequences from a profile (hmmemit-shaped)"
