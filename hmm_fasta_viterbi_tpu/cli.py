@@ -1174,7 +1174,7 @@ def cmd_build(args) -> int:
 
     names, rows, rf = read_msa(args.msa)
     name = args.name or pathlib.Path(args.msa).stem
-    hmm = build_profile(rows, rf=rf, name=name)
+    hmm = build_profile(rows, rf=rf, name=name, weighting=args.weighting)
     hmm = calibrate_profile(hmm, seed=args.seed)
     write_hmm(hmm, args.out)
     logger.info(
@@ -1400,6 +1400,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="profile NAME (default: MSA file stem)")
     bld.add_argument("--seed", type=int, default=0,
                      help="calibration simulation seed")
+    bld.add_argument(
+        "--weighting", default="pb", choices=["pb", "none"],
+        help="sequence weighting: Henikoff position-based (H3 default) "
+        "or uniform",
+    )
     bld.set_defaults(fn=cmd_build)
 
     emt = sub.add_parser(

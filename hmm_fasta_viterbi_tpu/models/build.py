@@ -47,16 +47,46 @@ def _aa_index(ch: str) -> int:
     return AMINO_ACIDS.find(ch.upper())
 
 
+def _pb_weights(rows: list[str], match_cols: list[int]) -> np.ndarray:
+    """Henikoff position-based sequence weights (H3's default): in each
+    match column, a residue type observed c times among k distinct
+    types contributes 1/(k*c) to every sequence carrying it — so ten
+    identical copies share the weight one unique sequence gets alone.
+    Normalized to mean 1 (total statistical mass stays = nseq)."""
+    n = len(rows)
+    w = np.zeros(n, dtype=np.float64)
+    for ci in match_cols:
+        col = [_aa_index(r[ci]) if r[ci] not in _GAPS else -1 for r in rows]
+        counts: dict[int, int] = {}
+        for aa in col:
+            if aa >= 0:
+                counts[aa] = counts.get(aa, 0) + 1
+        k = len(counts)
+        if k == 0:
+            continue
+        for i, aa in enumerate(col):
+            if aa >= 0:
+                w[i] += 1.0 / (k * counts[aa])
+    if w.sum() <= 0.0:
+        return np.ones(n, dtype=np.float64)
+    return w * (n / w.sum())
+
+
 def build_profile(
-    rows: list[str], rf: str | None = None, name: str = "msa"
+    rows: list[str],
+    rf: str | None = None,
+    name: str = "msa",
+    weighting: str = "pb",
 ) -> ProfileHMM:
     """Aligned rows (+ optional RF match-column annotation) -> ProfileHMM.
 
     Match columns come from RF when present (alphanumeric = match, the
     shape ops.traceback.stockholm_msa writes); otherwise the standard
     gap-majority rule (a column with <= 50% gaps is a match column).
-    Stats fields are zero — run :func:`calibrate_profile` before
-    scanning with P-value thresholds.
+    ``weighting``: "pb" (Henikoff position-based, the H3 default —
+    redundant copies of a sequence share one vote) or "none". Stats
+    fields are zero — run :func:`calibrate_profile` before scanning
+    with P-value thresholds.
     """
     if not rows:
         raise ValueError("empty alignment")
@@ -78,12 +108,19 @@ def build_profile(
     m = leng + 1  # dummy M0, the file convention (SURVEY quirk 3)
     node_of_col = {c: k for k, c in enumerate(match_cols, start=1)}
 
+    if weighting == "pb":
+        weights = _pb_weights(rows, match_cols)
+    elif weighting == "none":
+        weights = np.ones(len(rows), dtype=np.float64)
+    else:
+        raise ValueError(f"unknown weighting {weighting!r}")
+
     match_counts = np.zeros((m, NUM_AMINO_ACIDS), dtype=np.float64)
     tm = np.zeros((m, 3), dtype=np.float64)  # m->m, m->i, m->d
     ti = np.zeros((m, 2), dtype=np.float64)  # i->m, i->i
     td = np.zeros((m, 2), dtype=np.float64)  # d->m, d->d
 
-    for row in rows:
+    for row, w in zip(rows, weights):
         state, node = "M", 0  # begin = the silent M0
         for ci in range(width):
             ch = row[ci]
@@ -95,9 +132,9 @@ def build_profile(
                 if aa < 0:
                     continue  # unknown residue: skip (X/B/Z etc.)
                 if state == "M":
-                    tm[node, 1] += 1.0
+                    tm[node, 1] += w
                 elif state == "I":
-                    ti[node, 1] += 1.0
+                    ti[node, 1] += w
                 # D -> I is not a plan-7 move; drop from counting
                 state = "I"
                 continue
@@ -106,23 +143,23 @@ def build_profile(
             if not gap and aa < 0:
                 gap = True  # unknown residue in a match column: delete
             if state == "M":
-                tm[node, 2 if gap else 0] += 1.0
+                tm[node, 2 if gap else 0] += w
             elif state == "I":
                 if not gap:  # I -> D is not a plan-7 move
-                    ti[node, 0] += 1.0
+                    ti[node, 0] += w
             else:  # D
-                td[node, 1 if gap else 0] += 1.0
+                td[node, 1 if gap else 0] += w
             state, node = ("D" if gap else "M"), k
             if not gap:
-                match_counts[k, aa] += 1.0
+                match_counts[k, aa] += w
         # exit to E: recorded on the m->m / i->m / d->m slot of the
         # last visited node (the file stores node LENG's exits there)
         if state == "M":
-            tm[node, 0] += 1.0
+            tm[node, 0] += w
         elif state == "I":
-            ti[node, 0] += 1.0
+            ti[node, 0] += w
         else:
-            td[node, 0] += 1.0
+            td[node, 0] += w
 
     bg = BACKGROUND_FREQUENCIES.astype(np.float64)
     match = np.zeros((m, NUM_AMINO_ACIDS), dtype=np.float32)

@@ -111,3 +111,21 @@ def test_emit_align_build_scan_loop(profile_dir, tmp_path, capsys):
     hits = {r["target"] for r in rows_out if r["hit"]}
     assert sum(1 for t in hits if "sample" in t) >= 18
     assert not any("rnd" in t for t in hits)
+
+
+def test_pb_weights_derate_redundant_copies():
+    """Henikoff position-based weighting: ten identical copies share
+    one vote, so the lone divergent sequence's residues keep real
+    probability mass (H3's default weighting; --weighting none drowns
+    them)."""
+    rows = ["ACDEF"] * 10 + ["WWWWW"]  # one fully divergent sequence
+    pb = build_profile(rows, name="pb", weighting="pb")
+    flat = build_profile(rows, name="flat", weighting="none")
+    W = 18  # alphabet index of W
+    # every column is 2-type (k=2): the ten copies share one vote, the
+    # divergent row keeps its own -> near-equal mass in each column
+    assert pb.match_emissions[2, W] > 0.35
+    assert flat.match_emissions[2, W] < 0.15  # drowned 1-in-11 without
+    assert pb.match_emissions[2, W] > 3 * flat.match_emissions[2, W]
+    with pytest.raises(ValueError):
+        build_profile(rows, weighting="bogus")

@@ -180,6 +180,13 @@ def test_cli_mesh_scan(profile_dir, fasta_dir, capsys):
     by_target = {r["target"]: r["score_nats"] for r in plain_rows}
     for r in mesh_rows:
         assert r["score_nats"] == pytest.approx(by_target[r["target"]], abs=1e-4)
+    # streaming composes with the db mesh: each batch stages sharded
+    assert main(args + ["--mesh", "db=2", "--backend", "pallas",
+                        "--stream", "2"]) == 0
+    streamed = json.loads(capsys.readouterr().out)
+    assert len(streamed) == 4
+    for r in streamed:
+        assert r["score_nats"] == pytest.approx(by_target[r["target"]], abs=1e-4)
 
 
 def test_cli_sweep_checkpoint_resume(profile_dir, fasta_dir, tmp_path, capsys):
