@@ -365,6 +365,15 @@ def cmd_scan(args) -> int:
         return _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0)
 
 
+def _stage_bucketed_logged(scanner, tokens, lengths):
+    bucketed = scanner.stage_bucketed(tokens, lengths)
+    logger.info(
+        "bucketed staging: %d buckets, %.0f%% padded cells saved",
+        len(bucketed.buckets), 100 * bucketed.padded_cells_saved,
+    )
+    return bucketed
+
+
 def _sp_mesh(args):
     """The (db, sp) mesh when --mesh requests sp > 1 — served by the
     wavefront scans (scan --stage msv/viterbi/forward), not the
@@ -495,11 +504,7 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
     if args.stage == "msv":
         profile = MSVProfile.from_profile(hmm)
         if getattr(args, "bucketed", False):
-            bucketed = scanner.stage_bucketed(tokens, lengths)
-            logger.info(
-                "bucketed staging: %d buckets, %.0f%% padded cells saved",
-                len(bucketed.buckets), 100 * bucketed.padded_cells_saved,
-            )
+            bucketed = _stage_bucketed_logged(scanner, tokens, lengths)
             scores = scanner.scan_bucketed(profile, bucketed)
         else:
             staged = scanner.stage(tokens, lengths)
@@ -521,11 +526,7 @@ def _run_scan_stage(args, hmm, db, tokens, lengths, scanner, t0) -> int:
             if getattr(args, "fused", False):
                 logger.error("--fused does not compose with --bucketed")
                 return 2
-            bucketed = scanner.stage_bucketed(tokens, lengths)
-            logger.info(
-                "bucketed staging: %d buckets, %.0f%% padded cells saved",
-                len(bucketed.buckets), 100 * bucketed.padded_cells_saved,
-            )
+            bucketed = _stage_bucketed_logged(scanner, tokens, lengths)
             result = pipeline.search_bucketed(hmm, bucketed, tokens, lengths)
         else:
             staged = scanner.stage(tokens, lengths)
@@ -806,17 +807,8 @@ def _cmd_sweep_stream(args, hmms) -> int:
     kernel, i.e. the shard-outer staging economics of resumable_sweep;
     search: the cascade per profile with per-batch compaction to MSV
     survivors). Host memory is one batch plus per-profile results, so
-    a whole-Pfam sweep over an unbounded database streams."""
-    if (
-        getattr(args, "bucketed", False)
-        or _sp_mesh(args) is not None
-        or getattr(args, "checkpoint", None)
-    ):
-        logger.error(
-            "--stream does not compose with --bucketed, --checkpoint, "
-            "or sp>1"
-        )
-        return 2
+    a whole-Pfam sweep over an unbounded database streams. Flag
+    conflicts are rejected by cmd_sweep before profiles are loaded."""
     from .io.fastaio import FastaDatabase, FastaRecord
     from .io.loader import stream_fasta
 
@@ -892,17 +884,53 @@ def _load_sweep_profiles(args) -> list | None:
     if bool(hmm_db) == bool(args.hmm_dir):
         logger.error("sweep needs exactly one of --hmm-dir / --hmm-db")
         return None
+    if args.hmm_dir and not pathlib.Path(args.hmm_dir).is_dir():
+        logger.error("--hmm-dir %s is not a directory", args.hmm_dir)
+        return []
+    if hmm_db and not pathlib.Path(hmm_db).is_file():
+        logger.error("--hmm-db %s is not a file", hmm_db)
+        return []
     from .io.loader import load_profiles
 
     hmms = load_profiles(hmm_db or args.hmm_dir, prefer=args.loader)
     if not hmms:
         logger.error("no profiles in %s", hmm_db or args.hmm_dir)
+        return hmms
+    # every sweep path aggregates results by NAME; a duplicate would
+    # crash the streamed merge and silently garble checkpoint shards
+    seen: dict[str, int] = {}
+    for h in hmms:
+        seen[h.name] = seen.get(h.name, 0) + 1
+    dupes = sorted(n for n, c in seen.items() if c > 1)
+    if dupes:
+        logger.error(
+            "duplicate profile NAME(s) in %s: %s",
+            hmm_db or args.hmm_dir, ", ".join(dupes),
+        )
+        return None
     return hmms
 
 
 def cmd_sweep(args) -> int:
     if args.out:
         open(args.out, "w").close()  # fail fast on a bad --out path
+    # flag-conflict checks BEFORE loading the profile collection: a
+    # Pfam-scale --hmm-db must not be parsed just to reject the flags
+    if getattr(args, "stream", 0) and (
+        getattr(args, "bucketed", False)
+        or _sp_mesh(args) is not None
+        or getattr(args, "checkpoint", None)
+    ):
+        logger.error(
+            "--stream does not compose with --bucketed, --checkpoint, "
+            "or sp>1"
+        )
+        return 2
+    if getattr(args, "checkpoint", None) and getattr(args, "bucketed", False):
+        # the checkpoint path restages per shard by design; silently
+        # dropping the requested bucketing would betray the flag
+        logger.error("--checkpoint does not compose with --bucketed")
+        return 2
     hmms = _load_sweep_profiles(args)
     if hmms is None:
         return 2
@@ -952,11 +980,7 @@ def cmd_sweep(args) -> int:
                     )
             return 0
         if getattr(args, "bucketed", False):
-            bucketed = scanner.stage_bucketed(tokens, lengths)
-            logger.info(
-                "bucketed staging: %d buckets, %.0f%% padded cells saved",
-                len(bucketed.buckets), 100 * bucketed.padded_cells_saved,
-            )
+            bucketed = _stage_bucketed_logged(scanner, tokens, lengths)
             run = lambda hmm: pipeline.search_bucketed(
                 hmm, bucketed, tokens, lengths
             )
@@ -995,11 +1019,7 @@ def cmd_sweep(args) -> int:
         return 0
     bucketed = None
     if getattr(args, "bucketed", False):
-        bucketed = scanner.stage_bucketed(tokens, lengths)
-        logger.info(
-            "bucketed staging: %d buckets, %.0f%% padded cells saved",
-            len(bucketed.buckets), 100 * bucketed.padded_cells_saved,
-        )
+        bucketed = _stage_bucketed_logged(scanner, tokens, lengths)
     profiles = [MSVProfile.from_profile(h) for h in hmms]
     if bucketed is not None:
         # stacked multi-profile kernel per (M bucket x length bucket):
@@ -1215,10 +1235,7 @@ def cmd_emit(args) -> int:
         write_fasta(args.out, records, args.width)
         print(f"wrote {len(records)} sequence(s) to {args.out}")
     else:
-        for r in records:
-            sys.stdout.write(f">{r.header}\n")
-            for i in range(0, len(r.sequence), args.width):
-                sys.stdout.write(r.sequence[i : i + args.width] + "\n")
+        write_fasta(sys.stdout, records, args.width)
     return 0
 
 

@@ -191,11 +191,19 @@ def iter_fasta_batches(path: str | os.PathLike, batch_records: int = 8192):
         yield FastaDatabase(records=records, rejected=rejected)
 
 
-def write_fasta(path: str | os.PathLike, records: list[FastaRecord], width: int = 70) -> None:
+def write_fasta(path, records: list[FastaRecord], width: int = 70) -> None:
     """Write records in wrapped FASTA format (wrap width as the reference
-    generator's 70 columns, FASTA_files/random_FASTA_generator.py)."""
+    generator's 70 columns, FASTA_files/random_FASTA_generator.py).
+    ``path`` may be a filesystem path or an open text stream."""
+    if hasattr(path, "write"):
+        _write_fasta_records(path, records, width)
+        return
     with open(path, "w") as f:
-        for rec in records:
-            f.write(f">{rec.header}\n")
-            for i in range(0, len(rec.sequence), width):
-                f.write(rec.sequence[i : i + width] + "\n")
+        _write_fasta_records(f, records, width)
+
+
+def _write_fasta_records(f, records: list[FastaRecord], width: int) -> None:
+    for rec in records:
+        f.write(f">{rec.header}\n")
+        for i in range(0, len(rec.sequence), width):
+            f.write(rec.sequence[i : i + width] + "\n")

@@ -65,7 +65,16 @@ def format_hmm(hmm: ProfileHMM) -> str:
             f"{k:7d}  {_fields(hmm.match_emissions[k])}  {k:7d} {cons[k - 1]} -"
         )
         lines.append(f"         {_fields(hmm.insert_emissions[k])}")
-        lines.append(f"         {_fields(hmm.transitions[k])}")
+        trans_k = np.asarray(hmm.transitions[k], dtype=np.float64).copy()
+        if k == leng:
+            # structural zeros: no D_{LENG+1} exists, so the last
+            # node's m->d / d->d are ALWAYS '*'. A default-quirk parse
+            # stores exp(-0)=1.0 there (SURVEY quirk 1); writing that
+            # back as 0.00000 would turn an impossibility into a
+            # certainty for star_as_zero_prob consumers (emit).
+            trans_k[2] = 0.0
+            trans_k[6] = 0.0
+        lines.append(f"         {_fields(trans_k)}")
     lines.append("//")
     return "\n".join(lines) + "\n"
 

@@ -43,6 +43,8 @@ def load_profiles(path, prefer: Prefer = "auto") -> list[ProfileHMM]:
     if p.is_dir():
         files = sorted(p.glob("*.hmm"))
         return [load_profile(f, prefer=prefer) for f in files]
+    if not p.is_file():
+        raise FileNotFoundError(f"no profile directory or database at {p}")
     from .hmmio import parse_hmm_multi
 
     return parse_hmm_multi(p)

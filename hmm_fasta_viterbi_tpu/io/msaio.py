@@ -32,7 +32,10 @@ def _read_stockholm(text: str, source: str):
         if not line.strip() or line.startswith("//"):
             continue
         if line.startswith("#=GC RF"):
-            rf += line.split(None, 2)[2].strip()
+            parts = line.split(None, 2)
+            if len(parts) < 3:
+                raise MSAParseError(f"{source}: empty #=GC RF line")
+            rf += parts[2].strip()
             continue
         if line.startswith("#"):
             continue

@@ -129,3 +129,33 @@ def test_pb_weights_derate_redundant_copies():
     assert pb.match_emissions[2, W] > 3 * flat.match_emissions[2, W]
     with pytest.raises(ValueError):
         build_profile(rows, weighting="bogus")
+
+
+def test_writer_keeps_structural_stars(profile_dir, tmp_path):
+    """The last node's m->d / d->d are ALWAYS written as '*': a
+    default-quirk parse stores prob 1.0 there, and writing that back
+    as 0.00000 would turn an impossibility into a certainty for
+    star_as_zero_prob consumers like emit (round-3 review)."""
+    src = parse_hmm(profile_dir / "100.hmm")  # default quirk parse
+    out = tmp_path / "rt.hmm"
+    write_hmm(src, out)
+    star = parse_hmm(out, star_as_zero_prob=True)
+    last = star.model_length - 1
+    assert star.transitions[last, 2] == 0.0  # m->d impossible
+    assert star.transitions[last, 6] == 0.0  # d->d impossible
+    # while the default parse still round-trips the quirk value 1.0
+    quirk = parse_hmm(out)
+    assert quirk.transitions[last, 2] == 1.0
+
+
+def test_msaio_rejects_malformed(tmp_path):
+    from hmm_fasta_viterbi_tpu.io.msaio import MSAParseError
+
+    bad = tmp_path / "bad.sto"
+    bad.write_text("# STOCKHOLM 1.0\n#=GC RF\nrow1 ACD\n//\n")
+    with pytest.raises(MSAParseError):
+        read_msa(bad)
+    ragged = tmp_path / "ragged.sto"
+    ragged.write_text("# STOCKHOLM 1.0\nrow1 ACD\nrow2 AC\n//\n")
+    with pytest.raises(MSAParseError):
+        read_msa(ragged)

@@ -673,3 +673,24 @@ def test_cli_sweep_hmm_db(tmp_path, profile_dir, fasta_dir, capsys):
     assert main(["info", "--hmm-db", str(db), "--format", "json"]) == 0
     rows = json.loads(capsys.readouterr().out)
     assert [r["name"] for r in rows] == ["Pfam-B_229", "Pfam-B_603"]
+
+
+def test_cli_sweep_rejects_bad_collections(tmp_path, profile_dir, fasta_dir):
+    """Duplicate profile NAMEs and invalid flag combinations are usage
+    errors, checked BEFORE the profile collection loads (round-3
+    review: name-keyed aggregation would garble silently)."""
+    db = tmp_path / "dup.hmm"
+    one = (profile_dir / "100.hmm").read_text()
+    db.write_text(one + one)  # same NAME twice
+    fasta = str(fasta_dir / "fasta_like_example.fsa")
+    assert main(["sweep", "--hmm-db", str(db), "--fasta", fasta]) == 2
+    assert main(["sweep", "--hmm-db", str(db), "--fasta", fasta,
+                 "--stream", "2"]) == 2
+    # checkpoint + bucketed would silently drop bucketing before
+    assert main(["sweep", "--hmm-dir", str(profile_dir), "--fasta", fasta,
+                 "--checkpoint", str(tmp_path / "ck"), "--bucketed"]) == 2
+    # targeted messages for swapped/missing paths
+    assert main(["sweep", "--hmm-dir", str(tmp_path / "nope"),
+                 "--fasta", fasta]) == 1
+    assert main(["sweep", "--hmm-db", str(profile_dir),
+                 "--fasta", fasta]) == 1
