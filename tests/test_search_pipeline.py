@@ -361,3 +361,24 @@ def test_search_bucketed_matches_staged(hmm100, tmp_path, capsys):
         assert bucketed[t]["evalue"] == pytest.approx(
             plain[t]["evalue"], rel=1e-6
         )
+
+
+def test_search_bucketed_fast_prefilter(hmm100, mixed_batch):
+    """search_bucketed + fast_msv on the pallas backend: the bf16
+    prefilter runs per bucket, exact rescore of candidates — hit set
+    identical to the plain staged search."""
+    tokens, lengths = mixed_batch
+    scanner = MSVScanner(backend="pallas", interpret=True)
+    plain = SearchPipeline(scanner).search(
+        hmm100, scanner.stage(tokens, lengths), tokens, lengths
+    )
+    fast = SearchPipeline(scanner, fast_msv=True)
+    bucketed = scanner.stage_bucketed(tokens, lengths)
+    got = fast.search_bucketed(hmm100, bucketed, tokens, lengths)
+    np.testing.assert_array_equal(got.passed_forward, plain.passed_forward)
+    np.testing.assert_array_equal(got.passed_msv, plain.passed_msv)
+    # exact rescore: survivors' MSV scores match the exact kernel
+    surv = np.flatnonzero(got.passed_msv)
+    np.testing.assert_allclose(
+        got.msv_scores[surv], plain.msv_scores[surv], atol=1e-4
+    )
