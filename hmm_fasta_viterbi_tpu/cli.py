@@ -1051,10 +1051,11 @@ def cmd_info(args) -> int:
             for p in sorted(pathlib.Path(args.hmm_dir).glob("*.hmm"))
         ]
     elif hmm_db:
-        from .io.hmmio import parse_hmm_multi
+        from .io.loader import load_profiles
 
         units = [
-            (pathlib.Path(hmm_db).name, h) for h in parse_hmm_multi(hmm_db)
+            (pathlib.Path(hmm_db).name, h)
+            for h in load_profiles(hmm_db, prefer=args.loader)
         ]
     else:
         units = [

@@ -45,6 +45,13 @@ def load_profiles(path, prefer: Prefer = "auto") -> list[ProfileHMM]:
         return [load_profile(f, prefer=prefer) for f in files]
     if not p.is_file():
         raise FileNotFoundError(f"no profile directory or database at {p}")
+    if prefer != "python":
+        try:
+            return native.parse_hmm_multi_native(p)
+        except native.NativeUnavailable:
+            if prefer == "native":
+                raise
+            logger.debug("native loader unavailable; using python parser")
     from .hmmio import parse_hmm_multi
 
     return parse_hmm_multi(p)

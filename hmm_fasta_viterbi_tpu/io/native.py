@@ -28,7 +28,7 @@ logger = logging.getLogger(__name__)
 
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "build" / "libfastparse.so"
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 
 class NativeUnavailable(RuntimeError):
@@ -121,6 +121,11 @@ def _load():
                 raise NativeUnavailable(_load_error)
         lib.fp_parse_hmm.argtypes = [ctypes.c_char_p, ctypes.POINTER(_FpHmm)]
         lib.fp_parse_hmm.restype = ctypes.c_int32
+        lib.fp_parse_hmm_buf.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(_FpHmm),
+        ]
+        lib.fp_parse_hmm_buf.restype = ctypes.c_int32
         lib.fp_free_hmm.argtypes = [ctypes.POINTER(_FpHmm)]
         lib.fp_parse_fasta.argtypes = [ctypes.c_char_p, ctypes.POINTER(_FpFasta)]
         lib.fp_parse_fasta.restype = ctypes.c_int32
@@ -168,25 +173,63 @@ def parse_hmm_native(path) -> ProfileHMM:
     if rc != 0:
         raise ValueError(f"fastparse: failed to parse {path} (code {rc})")
     try:
-        m = out.model_length
-        match = np.ctypeslib.as_array(out.match_emissions, (m, NUM_AMINO_ACIDS)).copy()
-        insert = np.ctypeslib.as_array(out.insert_emissions, (m, NUM_AMINO_ACIDS)).copy()
-        trans = np.ctypeslib.as_array(out.transitions, (m, NUM_TRANSITIONS)).copy()
-        return ProfileHMM(
-            name=out.name.decode(),
-            model_length=m,
-            match_emissions=match,
-            insert_emissions=insert,
-            transitions=trans,
-            stats_local_msv_mu=out.msv_mu,
-            stats_local_msv_lambda=out.msv_lambda,
-            stats_local_viterbi_mu=out.vit_mu,
-            stats_local_viterbi_lambda=out.vit_lambda,
-            stats_local_forward_theta=out.fwd_tau,
-            stats_local_forward_lambda=out.fwd_lambda,
-        )
+        return _hmm_from_struct(out)
     finally:
         lib.fp_free_hmm(ctypes.byref(out))
+
+
+def _hmm_from_struct(out: _FpHmm) -> ProfileHMM:
+    m = out.model_length
+    match = np.ctypeslib.as_array(out.match_emissions, (m, NUM_AMINO_ACIDS)).copy()
+    insert = np.ctypeslib.as_array(out.insert_emissions, (m, NUM_AMINO_ACIDS)).copy()
+    trans = np.ctypeslib.as_array(out.transitions, (m, NUM_TRANSITIONS)).copy()
+    return ProfileHMM(
+        name=out.name.decode(),
+        model_length=m,
+        match_emissions=match,
+        insert_emissions=insert,
+        transitions=trans,
+        stats_local_msv_mu=out.msv_mu,
+        stats_local_msv_lambda=out.msv_lambda,
+        stats_local_viterbi_mu=out.vit_mu,
+        stats_local_viterbi_lambda=out.vit_lambda,
+        stats_local_forward_theta=out.fwd_tau,
+        stats_local_forward_lambda=out.fwd_lambda,
+    )
+
+
+def parse_hmm_multi_native(path) -> list[ProfileHMM]:
+    """Native parse of a concatenated //-separated .hmm database (the
+    hmmscan Pfam.hmm shape): fp_parse_hmm_buf walks model records in
+    one read-only pass over the file bytes — the 13x parse-rate C fast
+    path applied to whole-database loads (sweep/info --hmm-db)."""
+    from .hmmio import _check_alphabet
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    _check_alphabet(data[:4096].decode(errors="replace"))
+    lib = _load()
+    pos = ctypes.c_int64(0)
+    profiles: list[ProfileHMM] = []
+    while True:
+        out = _FpHmm()
+        rc = lib.fp_parse_hmm_buf(
+            data, len(data), ctypes.byref(pos), ctypes.byref(out)
+        )
+        if rc == 4:  # kDone
+            break
+        if rc != 0:
+            raise ValueError(
+                f"fastparse: failed to parse model {len(profiles) + 1} "
+                f"of {path} (code {rc})"
+            )
+        try:
+            profiles.append(_hmm_from_struct(out))
+        finally:
+            lib.fp_free_hmm(ctypes.byref(out))
+    if not profiles:
+        raise ValueError(f"fastparse: no profiles in {path}")
+    return profiles
 
 
 def parse_fasta_arrays_native(path) -> tuple[np.ndarray, np.ndarray, list[str], int]:

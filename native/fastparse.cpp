@@ -36,6 +36,7 @@ enum : int32_t {
   kErrIo = 1,
   kErrFormat = 2,
   kErrBadArg = 3,
+  kDone = 4,  // fp_parse_hmm_buf: no model records remain
 };
 
 bool read_file(const char* path, std::string& out) {
@@ -154,13 +155,10 @@ struct FpHmm {
   float* transitions;       // [model_length * 7]
 };
 
-int32_t fp_parse_hmm(const char* path, FpHmm* out) {
-  if (!path || !out) return kErrBadArg;
+static int32_t parse_hmm_span(const char* span_begin, const char* span_end,
+                              FpHmm* out) {
   memset(out, 0, sizeof(*out));
-
-  std::string data;
-  if (!read_file(path, data)) return kErrIo;
-  Cursor cur{data.data(), data.data() + data.size()};
+  Cursor cur{span_begin, span_end};
 
   const char *begin, *stop, *rest;
   // NAME
@@ -266,6 +264,45 @@ int32_t fp_parse_hmm(const char* path, FpHmm* out) {
       return kErrFormat;
   }
   return kOk;
+}
+
+int32_t fp_parse_hmm(const char* path, FpHmm* out) {
+  if (!path || !out) return kErrBadArg;
+  std::string data;
+  if (!read_file(path, data)) return kErrIo;
+  return parse_hmm_span(data.data(), data.data() + data.size(), out);
+}
+
+// '//' at buffer start or immediately after '\n' terminates a model
+// record; text after the two slashes on the same line belongs to the
+// NEXT record (the reference fixtures end with '//' and no newline, so
+// naive concatenation puts the next header on the terminator line).
+static const char* find_record_end(const char* b, const char* e) {
+  for (const char* p = b; p + 1 < e; ++p) {
+    if (p[0] == '/' && p[1] == '/' && (p == b || p[-1] == '\n')) return p;
+  }
+  return e;
+}
+
+// Parse ONE model from buf[*pos:len); advance *pos past its '//'
+// terminator (or to len). Returns kOk with a model, kDone when only
+// whitespace remains, kErrFormat on a malformed record. The concatenated
+// Pfam.hmm database shape — io/hmmio.py parse_hmm_multi's fast path.
+int32_t fp_parse_hmm_buf(const char* buf, int64_t len, int64_t* pos,
+                         FpHmm* out) {
+  if (!buf || !pos || !out || *pos < 0 || *pos > len) return kErrBadArg;
+  for (;;) {
+    const char* b = buf + *pos;
+    const char* e = buf + len;
+    if (b >= e) return kDone;
+    const char* rec_end = find_record_end(b, e);
+    *pos = (rec_end == e) ? len : (rec_end - buf) + 2;
+    const char* q = b;
+    while (q < rec_end && isspace(static_cast<unsigned char>(*q))) ++q;
+    if (q < rec_end) return parse_hmm_span(b, rec_end, out);
+    if (rec_end == e) return kDone;  // trailing blank tail
+    // blank span between terminators: keep scanning
+  }
 }
 
 void fp_free_hmm(FpHmm* h) {
@@ -517,6 +554,6 @@ extern "C" int32_t fp_fasta_next(FpFastaStream* s, int64_t max_records,
   return kOk;
 }
 
-int32_t fp_abi_version(void) { return 2; }
+int32_t fp_abi_version(void) { return 3; }
 
 }  // extern "C"

@@ -196,3 +196,32 @@ def test_native_stream_warns_on_rejects(tmp_path, caplog):
         db = native.parse_fasta_native(f)
     assert len(db) == 2
     assert any("rejected 1" in r.message for r in caplog.records)
+
+
+def test_native_multi_hmm_matches_python(tmp_path, profile_dir):
+    """fp_parse_hmm_buf over a concatenated database == the Python
+    parse_hmm_multi, model for model, over all 24 fixtures (incl. the
+    no-trailing-newline '//HMMER3/b' concatenation seam)."""
+    from hmm_fasta_viterbi_tpu.io import native
+    from hmm_fasta_viterbi_tpu.io.hmmio import parse_hmm_multi
+
+    if not native.native_available():
+        pytest.skip("native library unavailable")
+    db = tmp_path / "all.hmm"
+    parts = [p.read_text() for p in sorted(profile_dir.glob("*.hmm"))]
+    db.write_text("".join(parts))
+    got = native.parse_hmm_multi_native(db)
+    want = parse_hmm_multi(db)
+    assert len(got) == len(want) == 24
+    for g, w in zip(got, want):
+        assert g.name == w.name and g.model_length == w.model_length
+        np.testing.assert_allclose(
+            g.match_emissions, w.match_emissions, rtol=3e-7
+        )
+        np.testing.assert_allclose(g.transitions, w.transitions, rtol=3e-7)
+        assert g.stats_local_msv_mu == w.stats_local_msv_mu
+    # malformed record mid-database reports its ordinal
+    bad = tmp_path / "bad.hmm"
+    bad.write_text(parts[0] + "HMMER3/b\nNAME broken\nLENG 5\n//\n" + parts[1])
+    with pytest.raises(ValueError, match="model 2"):
+        native.parse_hmm_multi_native(bad)
