@@ -185,7 +185,18 @@ def main() -> int:
         help="fail (nonzero exit) if any extra benchmark errors instead "
         "of recording it in the JSON 'errors' field",
     )
+    ap.add_argument(
+        "--platform", default=None, choices=["cpu", "axon", "tpu"],
+        help="force the jax platform (the axon sitecustomize pins "
+        "jax_platforms in every process; a plain JAX_PLATFORMS env var "
+        "does NOT override it — this flag does, via jax.config)",
+    )
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.quick:
         args.batch = min(args.batch, 128)
