@@ -76,6 +76,19 @@ _PVALUE_FNS = {
 }
 
 
+def _finite_or_none(x) -> float | None:
+    """JSON-safe float: stages a row never reached leave NaN p/E-values,
+    and json.dump's bare ``NaN`` is invalid JSON for strict parsers —
+    emit null instead (ADVICE r3)."""
+    x = float(x)
+    return x if np.isfinite(x) else None
+
+
+def _fmt_e(x) -> str:
+    """TSV cell for a possibly-null p/E-value."""
+    return "nan" if x is None else f"{x:.3e}"
+
+
 @contextlib.contextmanager
 def _out_sink(args):
     """Yield the report sink, opening --out BEFORE the scan runs so a
@@ -125,8 +138,8 @@ def _report(profile, db, scores: np.ndarray, args, out=None, stage="msv",
                 "profile": profile.name,
                 "score_nats": round(float(scores[i]), 4),
                 "score_bits": round(float(bits[i]), 4),
-                "pvalue": float(pvals[i]),
-                "evalue": float(evals[i]),
+                "pvalue": _finite_or_none(pvals[i]),
+                "evalue": _finite_or_none(evals[i]),
             }
         )
     if args.format == "json":
@@ -140,7 +153,7 @@ def _report(profile, db, scores: np.ndarray, args, out=None, stage="msv",
         for r in rows:
             out.write(
                 f"{r['target']}\t{r['profile']}\t{r['score_nats']}\t"
-                f"{r['score_bits']}\t{r['pvalue']:.3e}\t{r['evalue']:.3e}\n"
+                f"{r['score_bits']}\t{_fmt_e(r['pvalue'])}\t{_fmt_e(r['evalue'])}\n"
             )
 
 
@@ -696,10 +709,10 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
             "target": db.records[i].header or f"seq{i}",
             "profile": hmm.name,
             "msv_bits": round(float(stats.nats_to_bits(result.msv_scores[i])), 4),
-            "msv_p": float(result.msv_pvalues[i]),
-            "viterbi_p": float(result.viterbi_pvalues[i]),
-            "forward_p": float(result.forward_pvalues[i]),
-            "evalue": float(evals[i]),
+            "msv_p": _finite_or_none(result.msv_pvalues[i]),
+            "viterbi_p": _finite_or_none(result.viterbi_pvalues[i]),
+            "forward_p": _finite_or_none(result.forward_pvalues[i]),
+            "evalue": _finite_or_none(evals[i]),
             "hit": bool(result.passed_forward[i]),
         }
         if want_domains and result.passed_forward[i]:
@@ -772,9 +785,10 @@ def _report_search(hmm, db, result, args, out=None, tokens=None, lengths=None,
         out.write(cols + "\n")
         for r in rows:
             line = (
-                f"{r['target']}\t{r['profile']}\t{r['msv_bits']}\t{r['msv_p']:.3e}\t"
-                f"{r['viterbi_p']:.3e}\t{r['forward_p']:.3e}\t"
-                f"{r['evalue']:.3e}\t{int(r['hit'])}"
+                f"{r['target']}\t{r['profile']}\t{r['msv_bits']}\t"
+                f"{_fmt_e(r['msv_p'])}\t"
+                f"{_fmt_e(r['viterbi_p'])}\t{_fmt_e(r['forward_p'])}\t"
+                f"{_fmt_e(r['evalue'])}\t{int(r['hit'])}"
             )
             if want_domains:
                 doms = ";".join(

@@ -17,6 +17,7 @@ Design for TPU economics:
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 import logging
@@ -119,17 +120,29 @@ class MSVScanner:
         # reference pins the object so its id() can never be recycled to
         # a different profile (id-keyed caches silently return a STALE
         # entry when a collected profile's address is reused — found as
-        # a 1-in-several-runs test flake with 100%-wrong scores)
-        self._profile_cache: dict = {}
+        # a 1-in-several-runs test flake with 100%-wrong scores).
+        # LRU-bounded: a Pfam-scale sweep iterates thousands of profiles
+        # once; without eviction every profile's device pack stays pinned
+        # in HBM for the process lifetime (ADVICE r3)
+        self._profile_cache: collections.OrderedDict = collections.OrderedDict()
+
+    #: max cached entries (a profile contributes a handful of keys —
+    #: MSV pack, p7 packs, fused statics); 64 comfortably covers the
+    #: 24-profile sweep while bounding Pfam-scale runs
+    _CACHE_MAX = 64
 
     def _cache_get(self, key, obj):
         hit = self._profile_cache.get(key)
         if hit is not None and hit[0] is obj:
+            self._profile_cache.move_to_end(key)
             return hit[1]
         return None
 
     def _cache_put(self, key, obj, payload):
         self._profile_cache[key] = (obj, payload)
+        self._profile_cache.move_to_end(key)
+        while len(self._profile_cache) > self._CACHE_MAX:
+            self._profile_cache.popitem(last=False)  # evict LRU device pack
         return payload
 
     # -- mesh plumbing ---------------------------------------------------
@@ -891,18 +904,25 @@ class SearchPipeline:
         # scanner a FRESH derived profile each call would grow its
         # id-keyed device caches by one pinned entry (profile pack +
         # device arrays) per batch — an unbounded leak that also
-        # re-uploads the profile every batch
-        self._derived_cache: dict = {}
+        # re-uploads the profile every batch. LRU-bounded like
+        # MSVScanner._profile_cache (ADVICE r3): sweeps over thousands
+        # of profiles must not pin every derived pack forever
+        self._derived_cache: collections.OrderedDict = collections.OrderedDict()
+
+    _DERIVED_MAX = 32
 
     def _derived(self, hmm):
         hit = self._derived_cache.get(id(hmm))
         if hit is not None and hit[0] is hmm:
+            self._derived_cache.move_to_end(id(hmm))
             return hit[1], hit[2]
         from .models.p7 import P7Profile
 
         msvp = MSVProfile.from_profile(hmm)
         p7 = P7Profile.from_profile(hmm)
         self._derived_cache[id(hmm)] = (hmm, msvp, p7)
+        while len(self._derived_cache) > self._DERIVED_MAX:
+            self._derived_cache.popitem(last=False)
         return msvp, p7
 
     def _p7_fns(self):

@@ -215,7 +215,9 @@ def resumable_search_sweep(
             **{
                 f: np.concatenate([c[f] for c in chunks])
                 if chunks
-                else np.zeros(0, np.float32)
+                # empty DB: keep the per-field dtype contract — the
+                # passed_* fields are bool, the rest f32 (ADVICE r3)
+                else np.zeros(0, bool if f.startswith("passed_") else np.float32)
                 for f in _SEARCH_FIELDS
             }
         )

@@ -140,6 +140,9 @@ int amino_index(char c) {
 
 extern "C" {
 
+struct FpFasta;
+void fp_free_fasta(FpFasta* f);  // defined below; used by error paths above it
+
 // ---------------------------------------------------------------------
 // .hmm profile parsing
 // ---------------------------------------------------------------------
@@ -370,8 +373,12 @@ int32_t fp_parse_fasta(const char* path, FpFasta* out) {
     }
     if (begin == stop) continue;  // blank line (reference UB — fixed)
     if (!in_record) return kErrFormat;  // data before first header
+    // Match the Python parser (io/fastaio.py parse_fasta_text): each line is
+    // stripped of leading/trailing blanks, but INTERIOR whitespace is an
+    // invalid symbol that rejects the whole record.
+    while (begin < stop && (*begin == ' ' || *begin == '\t')) ++begin;
+    while (stop > begin && (stop[-1] == ' ' || stop[-1] == '\t')) --stop;
     for (const char* c = begin; c < stop; ++c) {
-      if (*c == ' ' || *c == '\t') continue;
       int idx = amino_index(*c);
       if (idx < 0) {
         pending_valid = false;  // reject the whole sequence
@@ -388,7 +395,10 @@ int32_t fp_parse_fasta(const char* path, FpFasta* out) {
   out->tokens = static_cast<int8_t*>(malloc(tokens.size() ? tokens.size() : 1));
   out->offsets = static_cast<int64_t*>(malloc(offsets.size() * sizeof(int64_t)));
   out->headers = static_cast<char*>(malloc(headers.size() ? headers.size() : 1));
-  if (!out->tokens || !out->offsets || !out->headers) return kErrIo;
+  if (!out->tokens || !out->offsets || !out->headers) {
+    fp_free_fasta(out);  // release whichever buffers DID allocate
+    return kErrIo;
+  }
   if (!tokens.empty()) memcpy(out->tokens, tokens.data(), tokens.size());
   memcpy(out->offsets, offsets.data(), offsets.size() * sizeof(int64_t));
   if (!headers.empty()) memcpy(out->headers, headers.data(), headers.size());
@@ -529,9 +539,13 @@ extern "C" int32_t fp_fasta_next(FpFastaStream* s, int64_t max_records,
     }
     if (line.empty()) continue;
     if (!s->in_record) return kErrFormat;  // data before first header
-    for (char c : line) {
-      if (c == ' ' || c == '\t') continue;
-      int idx = amino_index(c);
+    // Same strip-then-reject-interior-whitespace semantics as fp_parse_fasta
+    // and the Python parser (keeps --loader native/python record counts equal).
+    size_t b = 0, e = line.size();
+    while (b < e && (line[b] == ' ' || line[b] == '\t')) ++b;
+    while (e > b && (line[e - 1] == ' ' || line[e - 1] == '\t')) --e;
+    for (size_t ci = b; ci < e; ++ci) {
+      int idx = amino_index(line[ci]);
       if (idx < 0) {
         s->pending_valid = false;
       } else {
@@ -547,7 +561,10 @@ extern "C" int32_t fp_fasta_next(FpFastaStream* s, int64_t max_records,
   out->tokens = static_cast<int8_t*>(malloc(tokens.size() ? tokens.size() : 1));
   out->offsets = static_cast<int64_t*>(malloc(offsets.size() * sizeof(int64_t)));
   out->headers = static_cast<char*>(malloc(headers.size() ? headers.size() : 1));
-  if (!out->tokens || !out->offsets || !out->headers) return kErrIo;
+  if (!out->tokens || !out->offsets || !out->headers) {
+    fp_free_fasta(out);  // release whichever buffers DID allocate
+    return kErrIo;
+  }
   if (!tokens.empty()) memcpy(out->tokens, tokens.data(), tokens.size());
   memcpy(out->offsets, offsets.data(), offsets.size() * sizeof(int64_t));
   if (!headers.empty()) memcpy(out->headers, headers.data(), headers.size());

@@ -533,6 +533,51 @@ def test_cli_search_evalue_top_cutoff(tmp_path, profile_dir, capsys):
     assert "hitA" in {r["target"] for r in kept}
 
 
+def test_cli_search_json_is_strict(tmp_path, profile_dir, capsys):
+    """MSV survivors that never reached Viterbi/Forward have NaN p/E
+    values; the JSON report must emit null for them (bare NaN is invalid
+    JSON for strict parsers — ADVICE r3)."""
+    from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
+    from hmm_fasta_viterbi_tpu.ops.traceback import consensus_string
+
+    hmm = __import__("hmm_fasta_viterbi_tpu").parse_hmm(profile_dir / "100.hmm")
+    cons = consensus_string(P7Profile.from_profile(hmm))
+    rng = np.random.default_rng(7)
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    recs = [f">hit\n{cons}"]
+    recs += [
+        f">rnd{i}\n" + "".join(aas[k] for k in rng.integers(0, 20, 120))
+        for i in range(5)
+    ]
+    fasta = tmp_path / "db.fsa"
+    fasta.write_text("\n".join(recs) + "\n")
+    # msv_p 1.0: EVERY row survives MSV, so the random rows reach the
+    # report with NaN viterbi/forward p-values unless later stages ran
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({"msv_p": 1.0}))
+    base = [
+        "scan", "--hmm", str(profile_dir / "100.hmm"), "--fasta", str(fasta),
+        "--backend", "xla", "--stage", "search", "--config", str(cfg),
+    ]
+    assert main(base + ["--format", "json"]) == 0
+    raw = capsys.readouterr().out
+
+    def _reject(const):  # strict parser: bare NaN/Infinity must not appear
+        raise AssertionError(f"non-strict JSON constant {const!r} in report")
+
+    rows = json.loads(raw, parse_constant=_reject)
+    assert any(r["hit"] for r in rows)
+    non_hits = [r for r in rows if not r["hit"]]
+    assert non_hits, "expected MSV survivors that failed later stages"
+    assert any(
+        r["forward_p"] is None or r["evalue"] is None for r in non_hits
+    )
+    # TSV path renders the same rows without crashing on null cells
+    assert main(base) == 0
+    out = capsys.readouterr().out
+    assert "nan" in out  # unreached stages print as nan cells
+
+
 def test_cli_align_stream_matches_whole(tmp_path, profile_dir, capsys):
     """align --stream: identical output to the whole-file align."""
     from hmm_fasta_viterbi_tpu.models.p7 import P7Profile

@@ -67,6 +67,31 @@ def test_fasta_edge_cases(tmp_path):
         native.parse_fasta_arrays_native(bad)
 
 
+def test_fasta_interior_whitespace_matches_python(tmp_path):
+    """Interior blanks in a sequence line reject the record in the Python
+    parser (line.strip() keeps them; they are invalid symbols) — the
+    native batch AND streaming readers must agree on record counts
+    (ADVICE r3: they used to silently skip blanks and accept)."""
+    from hmm_fasta_viterbi_tpu.io.fastaio import parse_fasta
+
+    f = tmp_path / "blanks.fsa"
+    # rec1: interior space -> reject; rec2: leading/trailing blanks only
+    # -> accept (lines are stripped); rec3: interior tab -> reject
+    f.write_text(">r1\nAC DEF\n>r2\n  ACDEF\t\n>r3\nAC\tDEF\n>r4\nGHIKL\n")
+    db = parse_fasta(f)
+    assert [r.header for r in db.records] == ["r2", "r4"]
+    assert len(db.rejected) == 2
+
+    tokens, lengths, headers, rejected = native.parse_fasta_arrays_native(f)
+    assert headers == ["r2", "r4"]
+    assert rejected == 2
+    assert lengths.tolist() == [5, 5]
+
+    batches = list(native.iter_fasta_batches_native(f, 8))
+    assert [r.header for b in batches for r in b.records] == ["r2", "r4"]
+    assert sum(b.num_rejected for b in batches) == 2
+
+
 def test_hmm_error_path(tmp_path):
     f = tmp_path / "broken.hmm"
     f.write_text("NAME x\nLENG 3\n")  # missing STATS/COMPO

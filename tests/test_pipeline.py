@@ -207,6 +207,33 @@ def test_profile_cache_id_reuse_regression(profile_dir):
         gc.collect()
 
 
+def test_profile_cache_is_bounded(profile_dir):
+    """Pfam-scale sweeps iterate thousands of profiles through one
+    scanner/pipeline; the pinned id-keyed caches must evict LRU instead
+    of growing a device pack per profile forever (ADVICE r3)."""
+    sc = MSVScanner(backend="xla")
+    sentinels = []
+    for i in range(sc._CACHE_MAX + 40):
+        obj = object()
+        sentinels.append(obj)  # keep ids unique while inserting
+        sc._cache_put(("k", i), obj, payload=i)
+    assert len(sc._profile_cache) == sc._CACHE_MAX
+    # most-recent entries survive, oldest were evicted
+    assert sc._cache_get(("k", sc._CACHE_MAX + 39), sentinels[-1]) == (
+        sc._CACHE_MAX + 39
+    )
+    assert sc._cache_get(("k", 0), sentinels[0]) is None
+
+    from hmm_fasta_viterbi_tpu.pipeline import SearchPipeline
+
+    pipe = SearchPipeline(sc)
+    hmms = [parse_hmm(profile_dir / "100.hmm")
+            for _ in range(pipe._DERIVED_MAX + 5)]
+    for h in hmms:
+        pipe._derived(h)
+    assert len(pipe._derived_cache) == pipe._DERIVED_MAX
+
+
 def test_scan_many_bucketed_matches_per_profile(profile_dir):
     """Stacked sweep over a length-bucketed ragged corpus must scatter
     scores identical to per-profile scan_bucketed (VERDICT r1 #6)."""
