@@ -171,7 +171,7 @@ def _cmd_scan_stream(args) -> int:
     if args.stage == "search":
         return _cmd_search_stream(args)
     from .io.fastaio import FastaDatabase, FastaRecord
-    from .io.loader import stream_fasta
+    from .io.loader import stream_fasta_prefetch
 
     hmm = load_profile(args.hmm, prefer=args.loader)
     scanner = _make_scanner(args)
@@ -196,12 +196,14 @@ def _cmd_scan_stream(args) -> int:
     headers: list[str] = []
     score_chunks: list[np.ndarray] = []
     total_cells = 0
-    for batch in stream_fasta(args.fasta, args.stream, prefer=args.loader):
+    # pad_multiple keeps the compiled-shape set small across ragged
+    # batches (one executable per 256-residue length bucket); parse +
+    # encode of the next batch overlap the device scan of this one
+    for batch, tokens, lengths in stream_fasta_prefetch(
+        args.fasta, args.stream, prefer=args.loader, encode_pad_multiple=256
+    ):
         if not len(batch):
             continue
-        # pad_multiple keeps the compiled-shape set small across ragged
-        # batches (one executable per 256-residue length bucket)
-        tokens, lengths = batch.encode(pad_multiple=256)
         score_chunks.append(batch_scores(tokens, lengths))
         headers.extend(r.header for r in batch.records)
         total_cells += int(lengths.astype(np.int64).sum()) * (
@@ -237,7 +239,8 @@ class _StreamedSearch:
     n_fwd: int
 
 
-def _stream_search(args, scanner, pipeline, hmms, keep_tokens: bool):
+def _stream_search(args, scanner, pipeline, hmms, keep_tokens: bool,
+                   timer=None):
     """ONE pass over the streamed FASTA, running the full cascade for
     every profile per batch and compacting host state to that batch's
     MSV survivors — the only rows the search report prints
@@ -247,11 +250,20 @@ def _stream_search(args, scanner, pipeline, hmms, keep_tokens: bool):
     reported number match the whole-file scan exactly; survivor token
     rows are retained only when --domains/--align need them.
 
+    Parse + encode of the NEXT batch overlap the device scan of the
+    current one (io.loader.stream_fasta_prefetch); ``timer`` (a
+    runtime.profiling.SectionTimer) attributes the wall time to
+    prefetch_wait (host parse NOT hidden by device work) / stage /
+    search / compact.
+
     Returns ({profile_name: _StreamedSearch}, total_seqs, total_cells).
     """
-    from .io.loader import stream_fasta
+    from .io.loader import stream_fasta_prefetch
     from .pipeline import SearchResult
+    from .runtime.profiling import SectionTimer
 
+    if timer is None:
+        timer = SectionTimer()
     fields = [f.name for f in dataclasses.fields(SearchResult)]
     agg = {
         h.name: {
@@ -262,31 +274,44 @@ def _stream_search(args, scanner, pipeline, hmms, keep_tokens: bool):
     }
     total_seqs = 0
     total_cells = 0
-    for batch in stream_fasta(args.fasta, args.stream, prefer=args.loader):
+    stream = stream_fasta_prefetch(
+        args.fasta, args.stream, prefer=args.loader, encode_pad_multiple=256
+    )
+    while True:
+        with timer.section("prefetch_wait"):
+            item = next(stream, None)
+        if item is None:
+            break
+        batch, tokens, lengths = item
         if not len(batch):
             continue
-        tokens, lengths = batch.encode(pad_multiple=256)
-        staged = scanner.stage(tokens, lengths)
+        with timer.section("stage"):
+            staged = scanner.stage(tokens, lengths)
         recs = batch.records
         for hmm in hmms:
-            res = pipeline.search(hmm, staged, tokens, lengths)
-            a = agg[hmm.name]
-            surv = np.flatnonzero(res.passed_msv)
-            for f in fields:
-                a["kept"][f].append(np.asarray(getattr(res, f))[surv])
-            a["headers"].extend(recs[i].header for i in surv)
-            if keep_tokens:
-                for i in surv:
-                    a["tok_rows"].append(
-                        np.array(tokens[i, : int(lengths[i])], dtype=np.int32)
-                    )
-                    a["len_rows"].append(int(lengths[i]))
-            a["n_vit"] += int(res.passed_viterbi.sum())
-            a["n_fwd"] += int(res.passed_forward.sum())
+            with timer.section("search"):
+                res = pipeline.search(hmm, staged, tokens, lengths)
+            with timer.section("compact"):
+                a = agg[hmm.name]
+                surv = np.flatnonzero(res.passed_msv)
+                for f in fields:
+                    a["kept"][f].append(np.asarray(getattr(res, f))[surv])
+                a["headers"].extend(recs[i].header for i in surv)
+                if keep_tokens:
+                    for i in surv:
+                        a["tok_rows"].append(
+                            np.array(
+                                tokens[i, : int(lengths[i])], dtype=np.int32
+                            )
+                        )
+                        a["len_rows"].append(int(lengths[i]))
+                a["n_vit"] += int(res.passed_viterbi.sum())
+                a["n_fwd"] += int(res.passed_forward.sum())
         total_seqs += len(batch)
         total_cells += int(lengths.astype(np.int64).sum()) * sum(
             h.model_length - 1 for h in hmms
         )
+    logger.info("streamed search phases: %s", timer.report())
     out = {}
     for hmm in hmms:
         a = agg[hmm.name]
@@ -824,7 +849,7 @@ def _cmd_sweep_stream(args, hmms) -> int:
     a whole-Pfam sweep over an unbounded database streams. Flag
     conflicts are rejected by cmd_sweep before profiles are loaded."""
     from .io.fastaio import FastaDatabase, FastaRecord
-    from .io.loader import stream_fasta
+    from .io.loader import stream_fasta_prefetch
 
     scanner = _make_scanner(args)
     t0 = time.perf_counter()
@@ -858,10 +883,11 @@ def _cmd_sweep_stream(args, hmms) -> int:
     score_chunks: dict[str, list[np.ndarray]] = {p.name: [] for p in profiles}
     headers: list[str] = []
     total_cells = 0
-    for batch in stream_fasta(args.fasta, args.stream, prefer=args.loader):
+    for batch, tokens, lengths in stream_fasta_prefetch(
+        args.fasta, args.stream, prefer=args.loader, encode_pad_multiple=256
+    ):
         if not len(batch):
             continue
-        tokens, lengths = batch.encode(pad_multiple=256)
         staged = scanner.stage(tokens, lengths)
         results = scanner.scan_many(profiles, staged)
         for p in profiles:

@@ -89,6 +89,71 @@ def stream_fasta(path, batch_records: int, prefer: Prefer = "auto"):
     yield from iter_fasta_batches(path, batch_records)
 
 
+def stream_fasta_prefetch(
+    path,
+    batch_records: int,
+    prefer: Prefer = "auto",
+    encode_pad_multiple: int | None = None,
+    depth: int = 2,
+):
+    """:func:`stream_fasta` with background prefetch: a worker thread
+    parses (and optionally encodes) the NEXT batch while the caller's
+    device scan consumes the current one.
+
+    The streamed scan loop is otherwise strictly serial —
+    parse -> scan -> parse — which halves throughput once host parse
+    time approaches device time (README's streaming pitch compares
+    ~134 Mres/s native parse against ~143 Mres/s chip consumption;
+    without overlap the end-to-end rate would be their HARMONIC sum).
+    The native parser runs inside a ctypes call (GIL released) and the
+    device wait is a blocking transfer (GIL released), so a plain
+    thread overlaps them.
+
+    Yields ``batch`` when ``encode_pad_multiple`` is None, else
+    ``(batch, tokens, lengths)`` with ``batch.encode(pad_multiple=...)``
+    already done off-thread. Worker exceptions re-raise in the consumer.
+    """
+    import queue as _queue
+    import threading
+
+    q: _queue.Queue = _queue.Queue(maxsize=max(1, depth))
+    _END = object()
+
+    def _work():
+        try:
+            for batch in stream_fasta(path, batch_records, prefer=prefer):
+                if encode_pad_multiple is None:
+                    q.put(batch)
+                else:
+                    tokens, lengths = batch.encode(
+                        pad_multiple=encode_pad_multiple
+                    )
+                    q.put((batch, tokens, lengths))
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - propagate to consumer
+            q.put(e)
+
+    t = threading.Thread(target=_work, daemon=True, name="fasta-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer abandoned the stream: drain so the worker can exit
+        # (daemon thread; bounded queue would otherwise block it forever)
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                t.join(0.05)
+    t.join(timeout=5)
+
+
 def load_fasta_arrays(
     path, prefer: Prefer = "auto"
 ) -> tuple[np.ndarray, np.ndarray, list[str]]:

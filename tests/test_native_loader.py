@@ -152,6 +152,34 @@ def test_stream_fasta_loader_dispatch(fasta_dir):
         assert np.array_equal(tx, ty) and np.array_equal(lx, ly)
 
 
+def test_stream_fasta_prefetch_matches_serial(tmp_path, fasta_dir):
+    """Background-prefetch streaming == serial streaming: same batches,
+    same encoded tokens; worker exceptions surface in the consumer."""
+    path = fasta_dir / "fasta_like_example.fsa"
+    for prefer in ("native", "python"):
+        serial = list(loader.stream_fasta(path, 2, prefer=prefer))
+        pre = list(loader.stream_fasta_prefetch(path, 2, prefer=prefer))
+        assert [len(b) for b in pre] == [len(b) for b in serial]
+        enc = list(loader.stream_fasta_prefetch(
+            path, 2, prefer=prefer, encode_pad_multiple=8
+        ))
+        for (b, tok, lens), sb in zip(enc, serial):
+            st, sl = sb.encode(pad_multiple=8)
+            np.testing.assert_array_equal(tok, st)
+            np.testing.assert_array_equal(lens, sl)
+            assert [r.header for r in b.records] == [
+                r.header for r in sb.records
+            ]
+    bad = tmp_path / "bad.fsa"
+    bad.write_text("ACDEF\n>late\nGHI\n")  # data before first header
+    with pytest.raises(Exception):
+        list(loader.stream_fasta_prefetch(bad, 4, prefer="python"))
+    # abandoning the generator mid-stream must not deadlock the worker
+    gen = loader.stream_fasta_prefetch(path, 1, prefer="python")
+    next(gen)
+    gen.close()
+
+
 def test_loader_prefer_modes(profile_dir, fasta_dir):
     a = loader.load_profile(profile_dir / "100.hmm", prefer="native")
     b = loader.load_profile(profile_dir / "100.hmm", prefer="python")

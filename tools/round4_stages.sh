@@ -1,0 +1,58 @@
+#!/bin/bash
+# Round-4 on-chip stage list, executed by tools/round4_campaign.sh the
+# moment the tunnel is live. Each stage logs to /tmp/r4_<stage>.log,
+# is copied into docs/campaign_r04/ and COMMITTED immediately (VERDICT
+# r3 #1: partial results must survive a mid-campaign outage). A failed
+# stage does not stop the rest.
+set -u
+cd /root/repo
+LOG=/tmp
+mkdir -p docs/campaign_r04
+
+commit_log() {
+  # commit one stage log; retry on index-lock races with the main session
+  name=$1
+  cp "$LOG/r4_${name}.log" "docs/campaign_r04/${name}.log"
+  for a in 1 2 3 4 5; do
+    if git add "docs/campaign_r04/${name}.log" &&
+       git commit -q -m "campaign r4: ${name} stage log"; then
+      return 0
+    fi
+    sleep $((a * 7))
+  done
+  echo "commit_log ${name} FAILED"
+}
+
+run() {
+  name=$1; shift
+  echo "=== $name: $* ($(date -u +%H:%M:%S))"
+  timeout 3600 "$@" >"$LOG/r4_${name}.log" 2>&1
+  rc=$?
+  echo "--- $name exit=$rc ($(date -u +%H:%M:%S))"
+  commit_log "$name"
+}
+
+# 0. warm probe already passed in the driver. Order per VERDICT r3 #1:
+#    chain labs -> post labs -> fwd A/B -> validate_hw -> bench.
+
+# 1. lazy exact Viterbi v3: eager baseline + lazy K sweep (headline M=1400)
+run chain1400 python tools/chain_lab.py --m 1400 --lazy 5,6,7 --windows 4 --reps 5
+# 1b. schedule tuning at the chosen K: lane width x unroll
+run chain1400w1024 python tools/chain_lab.py --m 1400 --lazy 5 --windows 4 --widest 1024 --reps 3 --skip-exact
+run chain1400u8 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --unroll 8 --reps 3 --skip-exact
+run chain1400u16 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --unroll 16 --reps 3 --skip-exact
+# 2. other profile sizes at the auto-picked K
+run chain2405 python tools/chain_lab.py --m 2405 --lazy 4,5,6 --windows 4 --reps 3
+run chain100 python tools/chain_lab.py --m 100 --lazy 3,4,5 --windows 4 --reps 3
+# 3. posterior decode lab (bench shape + headline-L) — VERDICT r3 #3
+run post python tools/post_lab.py --reps 5
+run post3500 python tools/post_lab.py --seq-len 3500 --batch 128 --reps 3
+# 3b. truncated prob-space chain A/B (forward + posterior) — VERDICT r3 #5
+run fwdab python tools/fwd_chain_ab.py --reps 5
+# 4. hardware parity campaign (24 profiles, lazy-vs-eager bitwise)
+run validate python tools/validate_hw.py
+# 5. full default bench -> the round's JSON artifact shape
+#    (includes the streamed end-to-end search row — VERDICT r3 #4)
+run bench python bench.py
+
+echo "STAGES_DONE"
