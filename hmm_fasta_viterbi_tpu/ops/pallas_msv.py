@@ -219,7 +219,9 @@ def _msv_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("l_chunk", "interpret", "unroll", "exact", "skip_row0_guard"),
+    static_argnames=(
+        "l_chunk", "interpret", "unroll", "exact", "skip_row0_guard", "widest"
+    ),
 )
 def msv_pallas_call(
     scores_t: jax.Array,  # [P, M_pad, 20] f32 (rows >= Mr set to PAD_SCORE)
@@ -234,6 +236,7 @@ def msv_pallas_call(
     unroll: int = STEP_UNROLL,
     exact: bool = True,
     skip_row0_guard: bool = False,
+    widest: int = 256,
 ):
     """Raw kernel invocation over padded operands.
 
@@ -248,7 +251,9 @@ def msv_pallas_call(
     assert m_pad % 8 == 0
     # 256-lane tiles beat 128 by ~6% on large batches; 512 regresses
     # here (VMEM/panel pressure) — see docs/PERFORMANCE.md
-    lanes = pick_lanes(b_pad, m_pad, widest=256, m_cap=2048)
+    lanes = pick_lanes(
+        b_pad, m_pad, widest=widest, m_cap=2048 if widest <= 256 else 4096
+    )
     # unrolling keeps several [M_pad, 128] panels live; scale it down for
     # large models to bound VMEM (unroll 32 measured through m_pad 2432,
     # the data's maximum; beyond that is extrapolated conservatively)
@@ -305,7 +310,9 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("l_chunk", "interpret", "exact", "skip_row0_guard"),
+    static_argnames=(
+        "l_chunk", "interpret", "exact", "skip_row0_guard", "unroll", "widest"
+    ),
 )
 def _msv_pallas_padded(
     scores_t: jax.Array,  # [P, M_pad, 20] f32
@@ -317,6 +324,8 @@ def _msv_pallas_padded(
     interpret: bool,
     exact: bool = True,
     skip_row0_guard: bool = False,
+    unroll: int = STEP_UNROLL,
+    widest: int = 256,
 ) -> jax.Array:
     """Jitted wrapper building the DP init ON DEVICE (zero extra host
     transfer — the host->device tunnel latency dominates small scans).
@@ -347,6 +356,8 @@ def _msv_pallas_padded(
         interpret=interpret,
         exact=exact,
         skip_row0_guard=skip_row0_guard,
+        unroll=unroll,
+        widest=widest,
     )
     return score
 

@@ -277,7 +277,8 @@ def _p7_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "l_chunk", "interpret", "unroll", "forward", "e_skip_d", "lazy_k"
+        "l_chunk", "interpret", "unroll", "forward", "e_skip_d", "lazy_k",
+        "group_cert",
     ),
 )
 def p7_pallas_call(
@@ -299,6 +300,7 @@ def p7_pallas_call(
     forward: bool = False,
     e_skip_d: bool = False,
     lazy_k: int = 0,
+    group_cert: bool = False,
 ):
     """Raw kernel invocation over padded operands. Returns
     (scores [B_pad], m/i/d carries [M_pad, B_pad], s carry [4, B_pad]).
@@ -329,7 +331,8 @@ def p7_pallas_call(
     s_spec = pl.BlockSpec((4, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM)
     if lazy_k > 0:
         kern = functools.partial(
-            _p7_lazy_kernel, unroll=unroll, lazy_k=lazy_k
+            _p7_lazy_kernel, unroll=unroll, lazy_k=lazy_k,
+            group_cert=group_cert,
         )
     else:
         kern = functools.partial(
@@ -382,12 +385,14 @@ def p7_pallas_call(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("l_chunk", "interpret", "forward", "e_skip_d", "lazy_k"),
+    static_argnames=(
+        "l_chunk", "interpret", "forward", "e_skip_d", "lazy_k", "group_cert"
+    ),
 )
 def _p7_pallas_padded(
     msc_t, isc_t, trans_t, chain_t, tokens_i8_t, lengths, tr_rows,
     tr_consts, l_chunk: int, interpret: bool, forward: bool,
-    e_skip_d: bool = False, lazy_k: int = 0,
+    e_skip_d: bool = False, lazy_k: int = 0, group_cert: bool = False,
 ):
     """Jitted wrapper: DP init built on device; returns scores [B_pad]."""
     m_pad = msc_t.shape[0]
@@ -420,6 +425,7 @@ def _p7_pallas_padded(
         forward=forward,
         e_skip_d=e_skip_d,
         lazy_k=lazy_k,
+        group_cert=group_cert,
     )
     return score
 
@@ -895,6 +901,7 @@ def _p7_lazy_kernel(
     *,
     unroll: int,
     lazy_k: int,
+    group_cert: bool = False,
 ):
     """EXACT Viterbi with a lazily-certified truncated delete chain.
 
@@ -954,6 +961,17 @@ def _p7_lazy_kernel(
     monotone certificate, repair rarely. Reference role: the production
     rescore stage the reference parses transitions for but never built
     (data_readers/Profile_HMM.hpp:32-42).
+
+    ``group_cert`` amortizes the certificate over each unroll GROUP:
+    per step only a running ``e_g = max(e_g, e_st)`` (lane row) and
+    ``pd_min = min(pd_min, new_pd)`` are kept; one t_row bound per
+    group uses e_g >= every e(t) and compares against pd_min <= every
+    new_pd(t) — both relaxations are monotone under correctly-rounded
+    f32 max/min/add, so soundness is unchanged (a group fire is still
+    >= any per-step fire). Cuts the per-step certificate cost from 4
+    [M_pad, LANES] ops to 1 + 4/unroll at the price of a slightly
+    hotter (still chunk-granular) fallback; fire rates re-measured in
+    tools/chain_lab.py --group-cert.
     """
     l_idx = pl.program_id(1)
     chunk_len, lanes = tokens_ref.shape
@@ -1009,7 +1027,7 @@ def _p7_lazy_kernel(
         floor = jnp.maximum(new_m + tmm, new_i + tim)
         new_pd = jnp.maximum(floor, a + tdm)
         viol_vec = None
-        if want_cert:
+        if want_cert and not group_cert:
             # the rounding path of this bound mirrors the dropped
             # passes' own (see docstring) — addition order matters
             t_row = ((e_st + tmd_max) + cmax) + tdm  # [M_pad, LANES]
@@ -1029,7 +1047,7 @@ def _p7_lazy_kernel(
             jnp.where(valid, new_c, c_st),
             jnp.where(valid, new_n, n_st),
             jnp.where(valid, new_b, b_st),
-        ), viol_vec
+        ), (e_st if group_cert else viol_vec)
 
     def write_carry(carry):
         m, i_st, pd, j_st, c_st, n_st, b_st = carry
@@ -1053,12 +1071,22 @@ def _p7_lazy_kernel(
         def step(u, carry):
             if want_cert:
                 carry, vacc = carry
+            e_g = pd_min = None
             for k in range(unroll):
-                carry, vv = one_step(
+                carry, aux = one_step(
                     u * unroll + k, *carry, n_chain, want_cert
                 )
-                if want_cert:
-                    vacc = vacc | vv
+                if want_cert and group_cert:
+                    e_g = aux if e_g is None else jnp.maximum(e_g, aux)
+                    pd = carry[2]
+                    pd_min = pd if pd_min is None else jnp.minimum(pd_min, pd)
+                elif want_cert:
+                    vacc = vacc | aux
+            if want_cert and group_cert:
+                # one group bound: e_g >= every e(t), pd_min <= every
+                # new_pd(t); same rounding path as the per-step cert
+                t_row = ((e_g + tmd_max) + cmax) + tdm
+                vacc = vacc | (t_row > pd_min)
             return (carry, vacc) if want_cert else carry
 
         init = read_carry()
@@ -1566,6 +1594,7 @@ def viterbi_pallas(
     interpret: bool = False,
     lazy: bool = True,
     lazy_k: int | None = None,
+    group_cert: bool = False,
 ) -> jax.Array:
     """Full local Viterbi scores via the Pallas kernel; f32 [B].
 
@@ -1594,6 +1623,7 @@ def viterbi_pallas(
             forward=False,
             e_skip_d=True,
             lazy_k=k,
+            group_cert=group_cert,
         )
         return score[:b]
     return _run(p7, tokens, lengths, l_chunk, interpret, forward=False)

@@ -296,6 +296,30 @@ def test_lazy_viterbi_bitwise_equals_full(p7_100, p7_200):
             np.testing.assert_array_equal(lazy_mc, full)
 
 
+def test_lazy_viterbi_group_cert_bitwise(p7_100):
+    """Round 4: the group-amortized certificate (one bound per unroll
+    group from running e_max / pd_min) must stay bitwise-exact — both
+    when the truncation is safe (auto K) and when a tiny window forces
+    the fallback replay through the group path."""
+    rng = np.random.default_rng(29)
+    tokens = rng.integers(0, 20, size=(4, 150)).astype(np.int32)
+    lengths = np.array([150, 93, 1, 150], dtype=np.int32)
+    full = np.asarray(
+        viterbi_pallas(p7_100, tokens, lengths, interpret=True, lazy=False)
+    )
+    from hmm_fasta_viterbi_tpu.ops.pallas_p7 import DEFAULT_L_CHUNK
+
+    for l_chunk in (DEFAULT_L_CHUNK, 64):
+        for k in (1, 2, None):
+            got = np.asarray(
+                viterbi_pallas(
+                    p7_100, tokens, lengths, l_chunk=l_chunk,
+                    interpret=True, lazy_k=k, group_cert=True,
+                )
+            )
+            np.testing.assert_array_equal(got, full)
+
+
 def test_lazy_viterbi_weak_damping_profile():
     """A profile with near-free deletions (tdd ~ log 0.98) makes long
     delete runs genuinely competitive — the certificate must fire and

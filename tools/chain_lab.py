@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--l-chunk", type=int, default=pp.DEFAULT_L_CHUNK)
     ap.add_argument("--windows", default="1,2,3,4,5,6,8,11")
     ap.add_argument("--lazy", default="", help="lazy_k values to time, e.g. 5,6,7")
+    ap.add_argument("--group-cert", action="store_true",
+                    help="lazy kernel: amortize the certificate over "
+                    "each unroll group (round 4)")
     ap.add_argument("--skip-exact", action="store_true")
     ap.add_argument("--unroll", type=int, default=0,
                     help="force the step unroll (0 = pick_p7_unroll)")
@@ -120,12 +123,13 @@ def main():
                 jnp.asarray(trans_t2), jnp.asarray(chain_t2),
                 tokens_d, lengths_d, tr_rows_d, jnp.asarray(consts5),
                 l_chunk=l_chunk, interpret=False, forward=False,
-                e_skip_d=True, lazy_k=kk,
+                e_skip_d=True, lazy_k=kk, group_cert=args.group_cert,
             ),
             args.reps,
         )
+        gc = " gcert" if args.group_cert else ""
         print(
-            f"lazy  K={kk:2d} widest={args.widest} l_chunk={l_chunk}: "
+            f"lazy  K={kk:2d}{gc} widest={args.widest} l_chunk={l_chunk}: "
             f"{cells/best/1e9:7.2f} GCUPS  {best*1e3:8.2f} ms  reps={[f'{x*1e3:.1f}' for x in out]}",
             flush=True,
         )

@@ -36,6 +36,15 @@ def main():
     ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--seq-len", type=int, default=3500)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument(
+        "--sweep", default="",
+        help="round-4 filter schedule sweep: comma-separated "
+        "widest:unroll:l_chunk triples, e.g. 256:32:256,512:16:256,"
+        "1024:8:512 — times the FILTER kernel at each schedule "
+        "(production default is 256:32:256)",
+    )
+    ap.add_argument("--skip-default", action="store_true",
+                    help="skip the production exact/filter rows")
     args = ap.parse_args()
 
     print(f"# devices: {jax.devices()}", flush=True)
@@ -58,11 +67,46 @@ def main():
     )
     cells = args.batch * args.seq_len * (profile.model_length - 1)
 
-    for name, fn in (
-        ("exact ", lambda: scanner.scan(profile, staged)),
-        ("filter", lambda: scanner.scan_filter(profile, staged)),
-    ):
-        np.asarray(fn())  # warm/compile
+    rows = []
+    if not args.skip_default:
+        rows += [
+            ("exact ", lambda: scanner.scan(profile, staged)),
+            ("filter", lambda: scanner.scan_filter(profile, staged)),
+        ]
+    if args.sweep:
+        m_pad = _round_up(profile.num_states + 1, scanner.m_bucket)
+        fsc = jnp.asarray(
+            pm.prepare_scores_t_filter(profile, m_pad)[None]
+        )
+        fconsts = jnp.asarray(
+            np.array(
+                [[profile.tr_B_Mk, profile.tr_E_C, profile.tr_E_J]],
+                dtype=np.float32,
+            )
+        )
+
+        def make_fn(widest, unroll, lc):
+            def fn():
+                return pm._msv_pallas_padded(
+                    fsc, staged.tokens_i8_t, staged.lengths,
+                    staged.tr_rows, fconsts, l_chunk=lc, interpret=False,
+                    exact=False, skip_row0_guard=True, unroll=unroll,
+                    widest=widest,
+                )[0]
+            return fn
+
+        for spec in args.sweep.split(","):
+            widest, unroll, lc = (int(x) for x in spec.split(":"))
+            rows.append((f"filter {widest:4d}:{unroll:2d}:{lc:3d}",
+                         make_fn(widest, unroll, lc)))
+
+    for name, fn in rows:
+        try:
+            np.asarray(fn())  # warm/compile
+        except Exception as e:  # noqa: BLE001 - a schedule can OOM VMEM
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+            continue
         reps = []
         for _ in range(args.reps):
             t0 = time.perf_counter()

@@ -37,13 +37,18 @@ run() {
 
 # 1. lazy exact Viterbi v3: eager baseline + lazy K sweep (headline M=1400)
 run chain1400 python tools/chain_lab.py --m 1400 --lazy 5,6,7 --windows 4 --reps 5
-# 1b. schedule tuning at the chosen K: lane width x unroll
+# 1b. schedule tuning at the chosen K: lane width x unroll x group-cert
 run chain1400w1024 python tools/chain_lab.py --m 1400 --lazy 5 --windows 4 --widest 1024 --reps 3 --skip-exact
+run chain1400gc python tools/chain_lab.py --m 1400 --lazy 5,6 --windows '' --group-cert --reps 3 --skip-exact
+run chain1400gcw1024 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --group-cert --widest 1024 --reps 3 --skip-exact
 run chain1400u8 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --unroll 8 --reps 3 --skip-exact
 run chain1400u16 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --unroll 16 --reps 3 --skip-exact
 # 2. other profile sizes at the auto-picked K
 run chain2405 python tools/chain_lab.py --m 2405 --lazy 4,5,6 --windows 4 --reps 3
 run chain100 python tools/chain_lab.py --m 100 --lazy 3,4,5 --windows 4 --reps 3
+# 2b. MSV filter schedule sweep (VERDICT r3 #7: push filter toward its
+#     in-kernel bound; production schedule is 256:32:256)
+run filtersweep python tools/msv_lab.py --skip-default --reps 5 --sweep 256:32:256,256:16:256,512:32:256,512:16:256,512:8:256,1024:8:256,256:32:512,512:16:512
 # 3. posterior decode lab (bench shape + headline-L) — VERDICT r3 #3
 run post python tools/post_lab.py --reps 5
 run post3500 python tools/post_lab.py --seq-len 3500 --batch 128 --reps 3
