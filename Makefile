@@ -1,9 +1,12 @@
 # Convenience targets (the reference ships shell wrappers around its
 # CMake build; here the Python package needs no build step).
 
-.PHONY: test bench validate native clean
+.PHONY: test test-all bench validate native clean
 
-test:
+test:  ## fast default gate (skips `slow`-marked tests; < ~5 min)
+	python -m pytest tests/ -q -m "not slow"
+
+test-all:  ## the full suite, slow interpret-mode kernels included
 	python -m pytest tests/ -q
 
 bench:

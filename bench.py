@@ -213,7 +213,10 @@ def main() -> int:
         args.batch = min(args.batch, 128)
         args.reps = 2
 
-    if not os.environ.get("BENCH_SKIP_PROBE"):
+    # the probe exists to turn an axon-tunnel hang into an artifact line;
+    # a forced CPU run has no tunnel to probe (and must work while the
+    # tunnel is down — that's its whole point)
+    if args.platform != "cpu" and not os.environ.get("BENCH_SKIP_PROBE"):
         probe_err = device_probe_error()
         if probe_err:
             # emit a well-formed artifact line instead of hanging: value
@@ -586,7 +589,9 @@ def main() -> int:
         finally:
             os.unlink(corpus_path)
 
-    if args.stream_search and scanner.backend == "pallas":
+    # backend-agnostic (the CPU/xla smoke covers the machinery between
+    # hardware runs); full scale is only reached on the pallas backend
+    if args.stream_search:
         _extra(run_stream_search)
 
     def run_oracle():

@@ -39,7 +39,7 @@ run() {
 run chain1400 python tools/chain_lab.py --m 1400 --lazy 5,6,7 --windows 4 --reps 5
 # 1b. schedule tuning at the chosen K: lane width x unroll x group-cert
 run chain1400w1024 python tools/chain_lab.py --m 1400 --lazy 5 --windows 4 --widest 1024 --reps 3 --skip-exact
-run chain1400gc python tools/chain_lab.py --m 1400 --lazy 5,6 --windows '' --group-cert --reps 3 --skip-exact
+run chain1400gc python tools/chain_lab.py --m 1400 --lazy 4,5,6 --windows '' --group-cert --reps 3 --skip-exact
 run chain1400gcw1024 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --group-cert --widest 1024 --reps 3 --skip-exact
 run chain1400u8 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --unroll 8 --reps 3 --skip-exact
 run chain1400u16 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --unroll 16 --reps 3 --skip-exact

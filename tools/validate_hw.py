@@ -92,6 +92,14 @@ def main() -> int:
             lz = np.asarray(viterbi_pallas(p7, tokens, lengths, lazy=True))
             eg = np.asarray(viterbi_pallas(p7, tokens, lengths, lazy=False))
             violations += int((lz != eg).sum())
+            # round 4: the group-amortized certificate must also be
+            # bitwise-exact on chip (its e_max/pd_min relaxation is
+            # rounding-order-sensitive by construction)
+            gc = np.asarray(
+                viterbi_pallas(p7, tokens, lengths, lazy=True,
+                               group_cert=True)
+            )
+            violations += int((gc != eg).sum())
             wf = forward_oracle_batch(p7, tokens[:3], lengths[:3])
             gf = np.asarray(sc.scan_p7(p7, staged, stage="forward"))[:3]
             e_fwd = err_of(gf, wf)
