@@ -90,6 +90,12 @@ _SLOW = {
     "test_pipeline.py::test_stage_and_scan[pallas]",
     "test_build.py::test_emit_align_build_scan_loop",
     "test_pipeline.py::test_fast_msv_cascade_same_hits",
+    # fourth tier (round-4 durations run, uncontended): the two >=18 s
+    # residents, both on the non-default fused/fast cascade path whose
+    # default-path siblings (test_search_bucketed_matches_staged,
+    # test_cli_search_evalue_top_cutoff) stay in the gate
+    "test_search_pipeline.py::test_fused_forward_threshold_boundary_contract",
+    "test_search_pipeline.py::test_fast_cascade_identical_hits",
 }
 
 
