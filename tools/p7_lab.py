@@ -149,13 +149,15 @@ def _kernel(
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "l_chunk", "unroll", "skip_chain", "skip_isc", "skip_msc", "chain_only"))
+    "l_chunk", "unroll", "skip_chain", "skip_isc", "skip_msc", "chain_only",
+    "lanes"))
 def lab_call(msc_t, isc_t, trans_t, chain_t, tokens_t, lengths, tr_rows,
              tr_consts, l_chunk=256, unroll=4, skip_chain=False,
-             skip_isc=False, skip_msc=False, chain_only=False):
+             skip_isc=False, skip_msc=False, chain_only=False, lanes=LANES):
     m_pad = msc_t.shape[0]
     l_pad, b_pad = tokens_t.shape
-    num_b = b_pad // LANES
+    assert b_pad % lanes == 0, (b_pad, lanes)
+    num_b = b_pad // lanes
     num_l = l_pad // l_chunk
     lengths2d = lengths.reshape(1, b_pad)
     neg = jnp.float32(NEG_INF)
@@ -166,8 +168,8 @@ def lab_call(msc_t, isc_t, trans_t, chain_t, tokens_t, lengths, tr_rows,
         jnp.zeros((b_pad,), dtype=jnp.float32),
         tr_rows[1],
     ])
-    carry_spec = pl.BlockSpec((m_pad, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((4, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM)
+    carry_spec = pl.BlockSpec((m_pad, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((4, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM)
     score, *_ = pl.pallas_call(
         functools.partial(_kernel, unroll=unroll, skip_chain=skip_chain,
                           skip_isc=skip_isc, skip_msc=skip_msc,
@@ -178,15 +180,15 @@ def lab_call(msc_t, isc_t, trans_t, chain_t, tokens_t, lengths, tr_rows,
             pl.BlockSpec((m_pad, 20), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, 8), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, 16), lambda b, l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_chunk, LANES), lambda b, l: (l, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_chunk, lanes), lambda b, l: (l, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             carry_spec, carry_spec, carry_spec, s_spec,
         ],
         input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
         out_specs=(
-            pl.BlockSpec((1, LANES), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda b, l: (0, b), memory_space=pltpu.VMEM),
             carry_spec, carry_spec, carry_spec, s_spec,
         ),
         out_shape=(
@@ -210,6 +212,11 @@ def main():
     ap.add_argument("--unroll", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--variants", default="full,nochain,noisc,nomm,chainonly")
+    ap.add_argument(
+        "--lanes", type=int, default=LANES,
+        help="lane-tile width (batch per tile); the production Viterbi "
+        "schedule uses 512 — the round-1 chain=49%% ablation was at 128",
+    )
     args = ap.parse_args()
 
     p7 = P7Profile.from_profile(
@@ -235,7 +242,8 @@ def main():
     for name in args.variants.split(","):
         kw = cfg[name]
         def call():
-            return lab_call(*dev, l_chunk=l_chunk, unroll=args.unroll, **kw)
+            return lab_call(*dev, l_chunk=l_chunk, unroll=args.unroll,
+                            lanes=args.lanes, **kw)
         np.asarray(call())
         best = 1e9
         for _ in range(args.reps):

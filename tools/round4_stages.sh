@@ -43,6 +43,14 @@ run chain1400gc python tools/chain_lab.py --m 1400 --lazy 4,5,6 --windows '' --g
 run chain1400gcw1024 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --group-cert --widest 1024 --reps 3 --skip-exact
 run chain1400u8 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --unroll 8 --reps 3 --skip-exact
 run chain1400u16 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --unroll 16 --reps 3 --skip-exact
+# 1c. WHERE the exact-Viterbi step time goes at the PRODUCTION lane
+#     width (512): the round-1 "chain = 49%" ablation ran at 128 lanes,
+#     but the recovered Aug-17 on-chip chain_lab logs show lazy K=6 ~=
+#     eager at 512 lanes (chain passes nearly free there) while filter
+#     windows cost ~9 ms/pass — the exact kernel's bottleneck must be
+#     identified before betting on any chain schedule (VERDICT weak #1)
+run ablate512 python tools/p7_lab.py --lanes 512 --batch 2048 --reps 3
+run ablate128 python tools/p7_lab.py --lanes 128 --batch 2048 --reps 3
 # 2. other profile sizes at the auto-picked K
 run chain2405 python tools/chain_lab.py --m 2405 --lazy 4,5,6 --windows 4 --reps 3
 run chain100 python tools/chain_lab.py --m 100 --lazy 3,4,5 --windows 4 --reps 3
