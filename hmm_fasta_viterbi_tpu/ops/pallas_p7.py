@@ -50,8 +50,17 @@ from .pallas_msv import (
     pick_lanes,
 )
 
+import logging
+
+logger = logging.getLogger(__name__)
+
 DEFAULT_L_CHUNK = 256
 STEP_UNROLL = 8
+# lazy-Viterbi hardware-compile verdicts keyed by (m_pad, l_chunk,
+# group_cert): Mosaic can reject schedules the interpreter accepts
+# (seen on chip with an unroll-sized dynamic slice); viterbi_pallas
+# probes the first call per shape and falls back to eager on rejection
+_LAZY_HW_VERDICT: dict = {}
 # filter-mode delete chain: Hillis-Steele passes kept (covers D-runs of
 # length < 2**K exactly); longer runs are upper-bounded by one
 # max(a0)+tail term whose penalty is 2^K * max(tdd). The window is
@@ -1595,13 +1604,20 @@ def viterbi_pallas(
     lazy: bool = True,
     lazy_k: int | None = None,
     group_cert: bool = False,
+    hw_fallback: bool = True,
 ) -> jax.Array:
     """Full local Viterbi scores via the Pallas kernel; f32 [B].
 
     Drop-in for ops.p7_scan.viterbi_xla (differential-tested). The
     default runs the lazily-certified truncated-chain kernel
     (_p7_lazy_kernel — exact scores, ~half the chain work); set
-    ``lazy=False`` for the eager full-chain kernel (A/B reference)."""
+    ``lazy=False`` for the eager full-chain kernel (A/B reference).
+
+    The first lazy call per (m_pad, l_chunk) shape is synchronously
+    materialized to force the (possibly remote) Mosaic compile: Mosaic
+    can reject a schedule the CPU interpreter accepts, and a rejection
+    here falls back to the eager kernel with a warning instead of
+    propagating at the caller's np.asarray."""
     if lazy and e_skip_d_ok(p7):
         tokens_t, lengths_p, tr_rows, b, l_chunk = _prepare_tokens(
             tokens, lengths, l_chunk
@@ -1609,23 +1625,41 @@ def viterbi_pallas(
         msc_t, isc_t, trans_t, chain_t, consts5, k = prepare_p7_device_lazy(
             p7, lazy_k=lazy_k
         )
-        score = _p7_pallas_padded(
-            jnp.asarray(msc_t),
-            jnp.asarray(isc_t),
-            jnp.asarray(trans_t),
-            jnp.asarray(chain_t),
-            jnp.asarray(tokens_t),
-            jnp.asarray(lengths_p),
-            jnp.asarray(tr_rows),
-            jnp.asarray(consts5),
-            l_chunk=l_chunk,
-            interpret=interpret,
-            forward=False,
-            e_skip_d=True,
-            lazy_k=k,
-            group_cert=group_cert,
-        )
-        return score[:b]
+        shape_key = (msc_t.shape[0], l_chunk, bool(group_cert))
+        if not hw_fallback or _LAZY_HW_VERDICT.get(shape_key) is not False:
+            score = _p7_pallas_padded(
+                jnp.asarray(msc_t),
+                jnp.asarray(isc_t),
+                jnp.asarray(trans_t),
+                jnp.asarray(chain_t),
+                jnp.asarray(tokens_t),
+                jnp.asarray(lengths_p),
+                jnp.asarray(tr_rows),
+                jnp.asarray(consts5),
+                l_chunk=l_chunk,
+                interpret=interpret,
+                forward=False,
+                e_skip_d=True,
+                lazy_k=k,
+                group_cert=group_cert,
+            )
+            if interpret or not hw_fallback or shape_key in _LAZY_HW_VERDICT:
+                # hw_fallback=False: callers validating the lazy kernel
+                # itself (tools/validate_hw.py) must see a compile
+                # failure, not a silent eager-vs-eager comparison
+                return score[:b]
+            try:
+                np.asarray(score)  # force compile (block_until_ready
+                # is not a reliable barrier on the axon tunnel)
+                _LAZY_HW_VERDICT[shape_key] = True
+                return score[:b]
+            except Exception as e:  # pragma: no cover — hardware only
+                logger.warning(
+                    "lazy Viterbi kernel failed to compile for "
+                    "m_pad=%d (%s: %.200s); falling back to eager",
+                    shape_key[0], type(e).__name__, e,
+                )
+                _LAZY_HW_VERDICT[shape_key] = False
     return _run(p7, tokens, lengths, l_chunk, interpret, forward=False)
 
 

@@ -125,6 +125,14 @@ class MSVScanner:
         # once; without eviction every profile's device pack stays pinned
         # in HBM for the process lifetime (ADVICE r3)
         self._profile_cache: collections.OrderedDict = collections.OrderedDict()
+        # lazy-Viterbi hardware-compile verdicts, keyed by (m_pad,
+        # l_chunk) shape (NOT by profile id — see the stale-id note
+        # above): Mosaic can reject a schedule the CPU interpreter
+        # accepts (seen on chip: "index in dimension 0 is not a
+        # multiple of 8" from an unroll-sized dynamic slice), and the
+        # lazy kernel landed after the last tunnel-up window. True =
+        # compiled + ran on this backend; False = fell back to eager.
+        self._lazy_hw: dict = {}
 
     #: max cached entries (a profile contributes a handful of keys —
     #: MSV pack, p7 packs, fused statics); 64 comfortably covers the
@@ -498,18 +506,55 @@ class MSVScanner:
                     interpret=self.interpret,
                 )
             else:
-                out = pallas_p7._p7_pallas_padded(
-                    *dev[:4],
-                    staged.tokens_i8_t,
-                    staged.lengths,
-                    staged.tr_rows,
-                    dev[4],
-                    l_chunk=self.l_chunk,
-                    interpret=self.interpret,
-                    forward=False,
-                    e_skip_d=eskip,
-                    lazy_k=dev[5],
-                )
+                shape_key = (int(dev[0].shape[0]), self.l_chunk)
+                if dev[5] and self._lazy_hw.get(shape_key) is False:
+                    # this shape's lazy kernel already failed Mosaic
+                    # compile — rebuild (and re-cache) the eager pack
+                    packed = pallas_p7.prepare_p7_device(p7)
+                    dev = self._cache_put(
+                        key, p7,
+                        tuple(jnp.asarray(x) for x in packed) + (0,),
+                    )
+
+                def _vit(d):
+                    return pallas_p7._p7_pallas_padded(
+                        *d[:4],
+                        staged.tokens_i8_t,
+                        staged.lengths,
+                        staged.tr_rows,
+                        d[4],
+                        l_chunk=self.l_chunk,
+                        interpret=self.interpret,
+                        forward=False,
+                        e_skip_d=eskip,
+                        lazy_k=d[5],
+                    )
+
+                out = _vit(dev)
+                if dev[5] and shape_key not in self._lazy_hw:
+                    # first use of this lazy shape on this backend:
+                    # force the (possibly remote) Mosaic compile NOW so
+                    # a rejection falls back instead of killing the scan
+                    try:
+                        # np.asarray, not block_until_ready: the axon
+                        # tunnel's block_until_ready returns before the
+                        # remote compile finishes (memory: tpu quirks)
+                        np.asarray(out)
+                        self._lazy_hw[shape_key] = True
+                    except Exception as e:  # pragma: no cover — hw only
+                        logger.warning(
+                            "lazy Viterbi kernel failed to compile for "
+                            "m_pad=%d (%s: %.200s); falling back to the "
+                            "eager full-chain kernel",
+                            shape_key[0], type(e).__name__, e,
+                        )
+                        self._lazy_hw[shape_key] = False
+                        packed = pallas_p7.prepare_p7_device(p7)
+                        dev = self._cache_put(
+                            key, p7,
+                            tuple(jnp.asarray(x) for x in packed) + (0,),
+                        )
+                        out = _vit(dev)
         else:
             from .ops.p7_scan import forward_xla, viterbi_xla
 

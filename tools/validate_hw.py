@@ -89,7 +89,8 @@ def main() -> int:
             # interpret-mode tests cannot see Mosaic codegen)
             from hmm_fasta_viterbi_tpu.ops.pallas_p7 import viterbi_pallas
 
-            lz = np.asarray(viterbi_pallas(p7, tokens, lengths, lazy=True))
+            lz = np.asarray(viterbi_pallas(p7, tokens, lengths, lazy=True,
+                               hw_fallback=False))
             eg = np.asarray(viterbi_pallas(p7, tokens, lengths, lazy=False))
             violations += int((lz != eg).sum())
             # round 4: the group-amortized certificate must also be
@@ -97,7 +98,7 @@ def main() -> int:
             # rounding-order-sensitive by construction)
             gc = np.asarray(
                 viterbi_pallas(p7, tokens, lengths, lazy=True,
-                               group_cert=True)
+                               group_cert=True, hw_fallback=False)
             )
             violations += int((gc != eg).sum())
             wf = forward_oracle_batch(p7, tokens[:3], lengths[:3])
