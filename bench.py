@@ -484,11 +484,18 @@ def main() -> int:
         p7 = P7Profile.from_profile(parse_hmm(profile_dir / "1400.hmm"))
         pb, pl_len = 128, 1024
         p_tokens, p_lengths = random_tokens(pb, pl_len, seed=2)
-        posterior_coverage_batch_pallas(p7, p_tokens, p_lengths)  # warm
+        # hw_fallback=False: a Mosaic rejection must error this row
+        # (recorded in the JSON "errors"), not silently time the
+        # lax.scan fallback under the pallas row name
+        posterior_coverage_batch_pallas(
+            p7, p_tokens, p_lengths, hw_fallback=False
+        )  # warm
         p_reps = []
         for _ in range(max(args.reps, 2)):
             t0 = _time.perf_counter()
-            posterior_coverage_batch_pallas(p7, p_tokens, p_lengths)
+            posterior_coverage_batch_pallas(
+                p7, p_tokens, p_lengths, hw_fallback=False
+            )
             p_reps.append(_time.perf_counter() - t0)
         best = min(p_reps)
         cells = pb * pl_len * (p7.model_length - 1)

@@ -29,6 +29,7 @@ coverage consumer thresholds at 0.5, far above kernel error.
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,8 @@ from .pallas_p7 import (
 )
 from ..models.msv import length_transitions
 
+logger = logging.getLogger(__name__)
+
 # VMEM budget: the streamed fm block (l_chunk * m_pad * lanes * 2 B —
 # round 3 streams alpha rows in BF16, halving both the VMEM block and
 # the HBM traffic; the coverage consumer thresholds at 0.5, ~250x the
@@ -55,6 +58,9 @@ from ..models.msv import length_transitions
 # temporaries; 32 bf16 rows at M=1400 x 128 lanes is ~11.5 MB/buffer
 POST_L_CHUNK = 32
 STEP_UNROLL = 8
+# hardware-compile verdicts for the bf16-stream posterior kernel, keyed
+# by (m_pad, l_chunk, lanes); see posterior_coverage_batch_pallas
+_POST_HW_VERDICT: dict = {}
 # HBM budget for the streamed alpha rows of one dispatch; batch_chunk
 # auto-picks the widest lane multiple that fits
 POST_HBM_BYTES = 3 << 30
@@ -513,6 +519,7 @@ def posterior_coverage_batch_pallas(
     batch_chunk: int | None = None,
     lanes: int = LANES,
     mesh=None,
+    hw_fallback: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batched coverage via the two-pass Pallas decode.
 
@@ -567,6 +574,12 @@ def posterior_coverage_batch_pallas(
         scan_fn = make_db_posterior_scanner(
             mesh, interpret=interpret, lanes=lanes
         )
+    hw_key = (m_pad, l_chunk, lanes)
+    if hw_fallback and not interpret and _POST_HW_VERDICT.get(hw_key) is False:
+        # this shape's kernel already failed Mosaic compile
+        from .p7_scan import posterior_coverage_batch_xla
+
+        return posterior_coverage_batch_xla(p7, tokens, lengths_np)
     for lo in range(0, b, batch_chunk):
         hi = min(lo + batch_chunk, b)
         nb = hi - lo
@@ -593,6 +606,25 @@ def posterior_coverage_batch_pallas(
                 jnp.asarray(tr_rows), jnp.asarray(probs2), tr_consts,
                 interpret=interpret, lanes=lanes,
             )
-        cov_out[lo:hi] = np.asarray(cov)[:, :nb].T
+        try:
+            cov_np = np.asarray(cov)
+        except Exception as e:  # pragma: no cover — hardware only
+            # the bf16 alpha-stream kernel landed after the tunnel's
+            # last up-window and has never been through real Mosaic
+            # codegen; a compile rejection (a failure class interpret
+            # mode cannot see) must not kill the --domains path
+            if not hw_fallback or interpret:
+                raise
+            logger.warning(
+                "pallas posterior kernel failed to compile for m_pad=%d "
+                "(%s: %.200s); falling back to the lax.scan decode",
+                m_pad, type(e).__name__, e,
+            )
+            _POST_HW_VERDICT[hw_key] = False
+            from .p7_scan import posterior_coverage_batch_xla
+
+            return posterior_coverage_batch_xla(p7, tokens, lengths_np)
+        _POST_HW_VERDICT[hw_key] = True
+        cov_out[lo:hi] = cov_np[:, :nb].T
         tot_out[lo:hi] = np.asarray(tot)[:nb]
     return cov_out, tot_out
