@@ -1627,33 +1627,41 @@ def viterbi_pallas(
         )
         shape_key = (msc_t.shape[0], l_chunk, bool(group_cert))
         if not hw_fallback or _LAZY_HW_VERDICT.get(shape_key) is not False:
-            score = _p7_pallas_padded(
-                jnp.asarray(msc_t),
-                jnp.asarray(isc_t),
-                jnp.asarray(trans_t),
-                jnp.asarray(chain_t),
-                jnp.asarray(tokens_t),
-                jnp.asarray(lengths_p),
-                jnp.asarray(tr_rows),
-                jnp.asarray(consts5),
-                l_chunk=l_chunk,
-                interpret=interpret,
-                forward=False,
-                e_skip_d=True,
-                lazy_k=k,
-                group_cert=group_cert,
+            # hw_fallback=False: callers validating the lazy kernel
+            # itself (tools/validate_hw.py) must see a compile failure,
+            # not a silent eager-vs-eager comparison. The probe wraps
+            # dispatch AND materialization: a local TPU raises compile
+            # errors at dispatch, the axon tunnel at np.asarray
+            # (block_until_ready is not a reliable barrier there)
+            probe = (
+                hw_fallback
+                and not interpret
+                and shape_key not in _LAZY_HW_VERDICT
             )
-            if interpret or not hw_fallback or shape_key in _LAZY_HW_VERDICT:
-                # hw_fallback=False: callers validating the lazy kernel
-                # itself (tools/validate_hw.py) must see a compile
-                # failure, not a silent eager-vs-eager comparison
-                return score[:b]
             try:
-                np.asarray(score)  # force compile (block_until_ready
-                # is not a reliable barrier on the axon tunnel)
-                _LAZY_HW_VERDICT[shape_key] = True
+                score = _p7_pallas_padded(
+                    jnp.asarray(msc_t),
+                    jnp.asarray(isc_t),
+                    jnp.asarray(trans_t),
+                    jnp.asarray(chain_t),
+                    jnp.asarray(tokens_t),
+                    jnp.asarray(lengths_p),
+                    jnp.asarray(tr_rows),
+                    jnp.asarray(consts5),
+                    l_chunk=l_chunk,
+                    interpret=interpret,
+                    forward=False,
+                    e_skip_d=True,
+                    lazy_k=k,
+                    group_cert=group_cert,
+                )
+                if probe:
+                    np.asarray(score)
+                    _LAZY_HW_VERDICT[shape_key] = True
                 return score[:b]
-            except Exception as e:  # pragma: no cover — hardware only
+            except Exception as e:
+                if not probe:
+                    raise
                 logger.warning(
                     "lazy Viterbi kernel failed to compile for "
                     "m_pad=%d (%s: %.200s); falling back to eager",

@@ -530,15 +530,18 @@ class MSVScanner:
                         lazy_k=d[5],
                     )
 
-                out = _vit(dev)
-                if dev[5] and shape_key not in self._lazy_hw:
+                if not dev[5] or shape_key in self._lazy_hw:
+                    out = _vit(dev)
+                else:
                     # first use of this lazy shape on this backend:
                     # force the (possibly remote) Mosaic compile NOW so
-                    # a rejection falls back instead of killing the scan
+                    # a rejection falls back instead of killing the
+                    # scan. The try wraps dispatch AND materialization:
+                    # a local TPU raises at dispatch, the axon tunnel
+                    # at np.asarray (block_until_ready is not a
+                    # reliable barrier there — memory: tpu quirks)
                     try:
-                        # np.asarray, not block_until_ready: the axon
-                        # tunnel's block_until_ready returns before the
-                        # remote compile finishes (memory: tpu quirks)
+                        out = _vit(dev)
                         np.asarray(out)
                         self._lazy_hw[shape_key] = True
                     except Exception as e:  # pragma: no cover — hw only
