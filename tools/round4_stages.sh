@@ -23,6 +23,22 @@ commit_log() {
   echo "commit_log ${name} FAILED"
 }
 
+wait_for_tunnel() {
+  # a mid-campaign outage must PAUSE the stage list, not burn every
+  # remaining stage against its 1 h timeout (same gentle cadence as
+  # the arming loop in round4_campaign.sh — frequent SIGTERMs of
+  # processes hanging on client-init can wedge the tunnel)
+  local i=0
+  while :; do
+    if timeout 180 python -c "import jax,numpy as np; np.asarray(jax.numpy.ones((8,8)).sum())" 2>/dev/null; then
+      return 0
+    fi
+    i=$((i + 1))
+    echo "    (tunnel down mid-campaign, probe $i; pausing)"
+    sleep 480
+  done
+}
+
 run() {
   name=$1; shift
   echo "=== $name: $* ($(date -u +%H:%M:%S))"
@@ -30,6 +46,9 @@ run() {
   rc=$?
   echo "--- $name exit=$rc ($(date -u +%H:%M:%S))"
   commit_log "$name"
+  if [ "$rc" -ne 0 ]; then
+    wait_for_tunnel
+  fi
 }
 
 # 0. warm probe already passed in the driver. Order per VERDICT r3 #1:
