@@ -64,8 +64,13 @@ def main():
     ap.add_argument("--skip-exact", action="store_true")
     ap.add_argument("--unroll", type=int, default=0,
                     help="force the step unroll (0 = pick_p7_unroll)")
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU interpret mode (offline smoke only; "
+                    "forces jax_platforms=cpu)")
     args = ap.parse_args()
 
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
     print(f"# devices: {jax.devices()}", flush=True)
     hmm = parse_hmm(REPO / "data" / "profile_HMMs" / f"{args.m}.hmm")
     p7 = P7Profile.from_profile(hmm)
@@ -101,7 +106,7 @@ def main():
         pp._p7_pallas_padded.clear_cache()
         best, out = timeit(
             lambda: pp._p7_pallas_padded(
-                *exact_args, l_chunk=l_chunk, interpret=False, forward=False,
+                *exact_args, l_chunk=l_chunk, interpret=args.interpret, forward=False,
                 e_skip_d=pp.e_skip_d_ok(p7),
             ),
             args.reps,
@@ -122,7 +127,7 @@ def main():
                 jnp.asarray(msc_t2), jnp.asarray(isc_t2),
                 jnp.asarray(trans_t2), jnp.asarray(chain_t2),
                 tokens_d, lengths_d, tr_rows_d, jnp.asarray(consts5),
-                l_chunk=l_chunk, interpret=False, forward=False,
+                l_chunk=l_chunk, interpret=args.interpret, forward=False,
                 e_skip_d=True, lazy_k=kk, group_cert=args.group_cert,
             ),
             args.reps,
@@ -134,6 +139,7 @@ def main():
             flush=True,
         )
 
+    window_points = []  # (n_passes, best_seconds) for the roofline fit
     for w in [int(x) for x in args.windows.split(",") if x]:
         packed = pp.prepare_p7_device_filter(p7, window_log2=w)
         msc_bf, isc_bf, ftrans, fchain, ftr_consts, window, e_skip = packed
@@ -142,7 +148,7 @@ def main():
             lambda: pp._p7_filter_padded(
                 jnp.asarray(msc_bf), jnp.asarray(isc_bf), jnp.asarray(ftrans),
                 jnp.asarray(fchain), tokens_d, lengths_d, tr_rows_d,
-                jnp.asarray(ftr_consts), l_chunk=l_chunk, interpret=False,
+                jnp.asarray(ftr_consts), l_chunk=l_chunk, interpret=args.interpret,
                 filter_window=window, e_skip_d=e_skip,
             ),
             args.reps,
@@ -152,6 +158,30 @@ def main():
             f"{cells/best/1e9:7.2f} GCUPS  {best*1e3:8.2f} ms  reps={[f'{x*1e3:.1f}' for x in out]}",
             flush=True,
         )
+        window_points.append((window, best))
+
+    if len(window_points) >= 2:
+        # Least-squares fit t(w) = intercept + slope*w over the filter
+        # window sweep: the slope is the marginal cost of one chain
+        # pass, the intercept the chain-free step cost. The implied
+        # ceilings are what PERFORMANCE.md's roofline argument needs —
+        # computed here, at measurement time, from the same run.
+        ws = np.array([p[0] for p in window_points], dtype=np.float64)
+        ts = np.array([p[1] for p in window_points], dtype=np.float64)
+        slope, intercept = np.polyfit(ws, ts, 1)
+        m_pad = pp._round_up(max(p7.num_states, 8), 8)
+        n_passes = max(1, int(np.ceil(np.log2(max(m_pad, 2)))))
+        print(
+            f"# roofline fit: pass cost {slope*1e3:.2f} ms, chain-free "
+            f"intercept {intercept*1e3:.1f} ms ({cells/intercept/1e9:.1f} GCUPS)",
+            flush=True,
+        )
+        for k in (0, 2, 3, 5, n_passes):
+            t = intercept + slope * k
+            print(
+                f"# roofline: {k:2d} passes -> {cells/t/1e9:6.1f} GCUPS ceiling",
+                flush=True,
+            )
 
     pp.pick_lanes = orig_pick
 

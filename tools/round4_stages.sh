@@ -58,10 +58,13 @@ run() {
 run chain1400 python tools/chain_lab.py --m 1400 --lazy 5,6,7 --windows 4 --reps 5
 # 1b. schedule tuning at the chosen K: lane width x unroll x group-cert
 run chain1400w1024 python tools/chain_lab.py --m 1400 --lazy 5 --windows 4 --widest 1024 --reps 3 --skip-exact
-run chain1400gc python tools/chain_lab.py --m 1400 --lazy 4,5,6 --windows '' --group-cert --reps 3 --skip-exact
+run chain1400gc python tools/chain_lab.py --m 1400 --lazy 2,3,4,5,6 --windows '' --group-cert --reps 3 --skip-exact
 run chain1400gcw1024 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --group-cert --widest 1024 --reps 3 --skip-exact
 run chain1400u8 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --unroll 8 --reps 3 --skip-exact
 run chain1400u16 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --unroll 16 --reps 3 --skip-exact
+# 1b'. group-cert amortization scales with unroll (cert cost 1 + 4/unroll
+#      ops/step) — pair the best-K group-cert with a deeper unroll
+run chain1400gcu16 python tools/chain_lab.py --m 1400 --lazy 3,5 --windows '' --group-cert --unroll 16 --reps 3 --skip-exact
 # 1c. WHERE the exact-Viterbi step time goes at the PRODUCTION lane
 #     width (512): the round-1 "chain = 49%" ablation ran at 128 lanes,
 #     but the recovered Aug-17 on-chip chain_lab logs show lazy K=6 ~=
