@@ -51,43 +51,47 @@ run() {
   fi
 }
 
-# 0. warm probe already passed in the driver. Order per VERDICT r3 #1:
-#    chain labs -> post labs -> fwd A/B -> validate_hw -> bench.
+# 0. warm probe already passed in the driver. Ordering: the tunnel has
+#    a history of multi-hour outages mid-round, so the DECISION-CRITICAL
+#    stages run first (v3 measurement, posterior, on-chip parity, the
+#    full bench artifact); schedule-tuning sweeps follow; a final bench
+#    re-run captures any tuning applied mid-campaign.
 
 # 1. lazy exact Viterbi v3: eager baseline + lazy K sweep (headline M=1400)
+#    — settles VERDICT r3 weak #1 / next #2
 run chain1400 python tools/chain_lab.py --m 1400 --lazy 5,6,7 --windows 4 --reps 5
-# 1b. schedule tuning at the chosen K: lane width x unroll x group-cert
-run chain1400w1024 python tools/chain_lab.py --m 1400 --lazy 5 --windows 4 --widest 1024 --reps 3 --skip-exact
-run chain1400gc python tools/chain_lab.py --m 1400 --lazy 2,3,4,5,6 --windows '' --group-cert --reps 3 --skip-exact
-run chain1400gcw1024 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --group-cert --widest 1024 --reps 3 --skip-exact
-run chain1400u8 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --unroll 8 --reps 3 --skip-exact
-run chain1400u16 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --unroll 16 --reps 3 --skip-exact
-# 1b'. group-cert amortization scales with unroll (cert cost 1 + 4/unroll
-#      ops/step) — pair the best-K group-cert with a deeper unroll
-run chain1400gcu16 python tools/chain_lab.py --m 1400 --lazy 3,5 --windows '' --group-cert --unroll 16 --reps 3 --skip-exact
-# 1c. WHERE the exact-Viterbi step time goes at the PRODUCTION lane
-#     width (512): the round-1 "chain = 49%" ablation ran at 128 lanes,
-#     but the recovered Aug-17 on-chip chain_lab logs show lazy K=6 ~=
-#     eager at 512 lanes (chain passes nearly free there) while filter
-#     windows cost ~9 ms/pass — the exact kernel's bottleneck must be
-#     identified before betting on any chain schedule (VERDICT weak #1)
-run ablate512 python tools/p7_lab.py --lanes 512 --batch 2048 --reps 3
-run ablate128 python tools/p7_lab.py --lanes 128 --batch 2048 --reps 3
-# 2. other profile sizes at the auto-picked K
-run chain2405 python tools/chain_lab.py --m 2405 --lazy 4,5,6 --windows 4 --reps 3
-run chain100 python tools/chain_lab.py --m 100 --lazy 3,4,5 --windows 4 --reps 3
-# 2b. MSV filter schedule sweep (VERDICT r3 #7: push filter toward its
-#     in-kernel bound; production schedule is 256:32:256)
-run filtersweep python tools/msv_lab.py --skip-default --reps 5 --sweep 256:32:256,256:16:256,512:32:256,512:16:256,512:8:256,1024:8:256,256:32:512,512:16:512
-# 3. posterior decode lab (bench shape + headline-L) — VERDICT r3 #3
+# 2. posterior decode lab (bench shape + headline-L) — VERDICT r3 #3
 run post python tools/post_lab.py --reps 5
-run post3500 python tools/post_lab.py --seq-len 3500 --batch 128 --reps 3
-# 3b. truncated prob-space chain A/B (forward + posterior) — VERDICT r3 #5
-run fwdab python tools/fwd_chain_ab.py --reps 5
-# 4. hardware parity campaign (24 profiles, lazy-vs-eager bitwise)
+# 3. hardware parity campaign (24 profiles, lazy-vs-eager bitwise) —
+#    gates trust in every round-3 kernel (VERDICT r3 missing #2)
 run validate python tools/validate_hw.py
-# 5. full default bench -> the round's JSON artifact shape
+# 4. full default bench -> the round's JSON artifact shape
 #    (includes the streamed end-to-end search row — VERDICT r3 #4)
 run bench python bench.py
+# 5. truncated prob-space chain A/B (forward + posterior) — VERDICT r3 #5
+run fwdab python tools/fwd_chain_ab.py --reps 5
+run post3500 python tools/post_lab.py --seq-len 3500 --batch 128 --reps 3
+# 6. WHERE the exact-Viterbi step time goes at the PRODUCTION lane
+#    width (512): the recovered Aug-17 on-chip chain_lab logs show lazy
+#    K=6 ~= eager at 512 lanes while filter windows cost ~9 ms/pass —
+#    attribute the exact kernel's bottleneck (VERDICT weak #1)
+run ablate512 python tools/p7_lab.py --lanes 512 --batch 2048 --reps 3
+# 7. schedule tuning at the chosen K: lane width x unroll x group-cert
+run chain1400gc python tools/chain_lab.py --m 1400 --lazy 2,3,4,5,6 --windows '' --group-cert --reps 3 --skip-exact
+run chain1400u8 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --unroll 8 --reps 3 --skip-exact
+run chain1400u16 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --unroll 16 --reps 3 --skip-exact
+run chain1400gcu16 python tools/chain_lab.py --m 1400 --lazy 3,5 --windows '' --group-cert --unroll 16 --reps 3 --skip-exact
+run chain1400w1024 python tools/chain_lab.py --m 1400 --lazy 5 --windows 4 --widest 1024 --reps 3 --skip-exact
+run chain1400gcw1024 python tools/chain_lab.py --m 1400 --lazy 5 --windows '' --group-cert --widest 1024 --reps 3 --skip-exact
+# 8. MSV filter schedule sweep (VERDICT r3 #7: push filter toward its
+#    in-kernel bound; production schedule is 256:32:256)
+run filtersweep python tools/msv_lab.py --skip-default --reps 5 --sweep 256:32:256,256:16:256,512:32:256,512:16:256,512:8:256,1024:8:256,256:32:512,512:16:512
+# 9. other profile sizes at the auto-picked K + 128-lane ablation
+run chain2405 python tools/chain_lab.py --m 2405 --lazy 4,5,6 --windows 4 --reps 3
+run chain100 python tools/chain_lab.py --m 100 --lazy 3,4,5 --windows 4 --reps 3
+run ablate128 python tools/p7_lab.py --lanes 128 --batch 2048 --reps 3
+# 10. final bench re-run — captures any production-default retunes
+#     committed while the sweeps ran
+run benchfinal python bench.py
 
 echo "STAGES_DONE"
