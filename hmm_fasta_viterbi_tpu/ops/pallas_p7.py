@@ -1038,9 +1038,12 @@ def _p7_lazy_kernel(
         viol_vec = None
         if want_cert and not group_cert:
             # the rounding path of this bound mirrors the dropped
-            # passes' own (see docstring) — addition order matters
+            # passes' own (see docstring) — addition order matters.
+            # The violation flag is CARRIED as f32 0/1, not bool:
+            # loop-carried vector<i1> fails Mosaic legalization
+            # ('scf.for' legalize error, campaign r4 chain1400 stage)
             t_row = ((e_st + tmd_max) + cmax) + tdm  # [M_pad, LANES]
-            viol_vec = t_row > new_pd
+            viol_vec = (t_row > new_pd).astype(jnp.float32)
 
         new_j = jnp.maximum(j_st + tr_loop, e_st + tr_e_j)
         new_c = jnp.maximum(c_st + tr_loop, e_st + tr_e_c)
@@ -1090,17 +1093,19 @@ def _p7_lazy_kernel(
                     pd = carry[2]
                     pd_min = pd if pd_min is None else jnp.minimum(pd_min, pd)
                 elif want_cert:
-                    vacc = vacc | aux
+                    vacc = jnp.maximum(vacc, aux)
             if want_cert and group_cert:
                 # one group bound: e_g >= every e(t), pd_min <= every
                 # new_pd(t); same rounding path as the per-step cert
                 t_row = ((e_g + tmd_max) + cmax) + tdm
-                vacc = vacc | (t_row > pd_min)
+                vacc = jnp.maximum(
+                    vacc, (t_row > pd_min).astype(jnp.float32)
+                )
             return (carry, vacc) if want_cert else carry
 
         init = read_carry()
         if want_cert:
-            init = (init, jnp.zeros((m_pad, lanes), jnp.bool_))
+            init = (init, jnp.zeros((m_pad, lanes), jnp.float32))
         return jax.lax.fori_loop(0, chunk_len // unroll, step, init)
 
     if k_run >= n_passes:
@@ -1109,7 +1114,7 @@ def _p7_lazy_kernel(
         write_carry(run_chunk(n_passes, False))
     else:
         carry, vacc = run_chunk(k_run, True)
-        viol = jnp.any(vacc)
+        viol = jnp.max(vacc) > 0.0
 
         # registers cannot be conditionally overwritten by pl.when, so
         # the branch pair merges through the out-refs: the chunk's

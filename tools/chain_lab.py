@@ -104,34 +104,41 @@ def main():
 
     if not args.skip_exact:
         pp._p7_pallas_padded.clear_cache()
-        best, out = timeit(
-            lambda: pp._p7_pallas_padded(
-                *exact_args, l_chunk=l_chunk, interpret=args.interpret, forward=False,
-                e_skip_d=pp.e_skip_d_ok(p7),
-            ),
-            args.reps,
-        )
-        print(
-            f"exact        widest={args.widest} l_chunk={l_chunk}: "
-            f"{cells/best/1e9:7.2f} GCUPS  {best*1e3:8.2f} ms  reps={[f'{x*1e3:.1f}' for x in out]}",
-            flush=True,
-        )
+        try:
+            best, out = timeit(
+                lambda: pp._p7_pallas_padded(
+                    *exact_args, l_chunk=l_chunk, interpret=args.interpret,
+                    forward=False, e_skip_d=pp.e_skip_d_ok(p7),
+                ),
+                args.reps,
+            )
+            print(
+                f"exact        widest={args.widest} l_chunk={l_chunk}: "
+                f"{cells/best/1e9:7.2f} GCUPS  {best*1e3:8.2f} ms  reps={[f'{x*1e3:.1f}' for x in out]}",
+                flush=True,
+            )
+        except Exception as e:  # one rejected config must not kill the lab
+            print(f"exact: FAILED {type(e).__name__}: {e}", flush=True)
 
     for k in [int(x) for x in args.lazy.split(",") if x]:
         msc_t2, isc_t2, trans_t2, chain_t2, consts5, kk = (
             pp.prepare_p7_device_lazy(p7, lazy_k=k)
         )
         pp._p7_pallas_padded.clear_cache()
-        best, out = timeit(
-            lambda: pp._p7_pallas_padded(
-                jnp.asarray(msc_t2), jnp.asarray(isc_t2),
-                jnp.asarray(trans_t2), jnp.asarray(chain_t2),
-                tokens_d, lengths_d, tr_rows_d, jnp.asarray(consts5),
-                l_chunk=l_chunk, interpret=args.interpret, forward=False,
-                e_skip_d=True, lazy_k=kk, group_cert=args.group_cert,
-            ),
-            args.reps,
-        )
+        try:
+            best, out = timeit(
+                lambda: pp._p7_pallas_padded(
+                    jnp.asarray(msc_t2), jnp.asarray(isc_t2),
+                    jnp.asarray(trans_t2), jnp.asarray(chain_t2),
+                    tokens_d, lengths_d, tr_rows_d, jnp.asarray(consts5),
+                    l_chunk=l_chunk, interpret=args.interpret, forward=False,
+                    e_skip_d=True, lazy_k=kk, group_cert=args.group_cert,
+                ),
+                args.reps,
+            )
+        except Exception as e:
+            print(f"lazy  K={kk}: FAILED {type(e).__name__}: {e}", flush=True)
+            continue
         gc = " gcert" if args.group_cert else ""
         print(
             f"lazy  K={kk:2d}{gc} widest={args.widest} l_chunk={l_chunk}: "
@@ -144,15 +151,19 @@ def main():
         packed = pp.prepare_p7_device_filter(p7, window_log2=w)
         msc_bf, isc_bf, ftrans, fchain, ftr_consts, window, e_skip = packed
         pp._p7_filter_padded.clear_cache()
-        best, out = timeit(
-            lambda: pp._p7_filter_padded(
-                jnp.asarray(msc_bf), jnp.asarray(isc_bf), jnp.asarray(ftrans),
-                jnp.asarray(fchain), tokens_d, lengths_d, tr_rows_d,
-                jnp.asarray(ftr_consts), l_chunk=l_chunk, interpret=args.interpret,
-                filter_window=window, e_skip_d=e_skip,
-            ),
-            args.reps,
-        )
+        try:
+            best, out = timeit(
+                lambda: pp._p7_filter_padded(
+                    jnp.asarray(msc_bf), jnp.asarray(isc_bf), jnp.asarray(ftrans),
+                    jnp.asarray(fchain), tokens_d, lengths_d, tr_rows_d,
+                    jnp.asarray(ftr_consts), l_chunk=l_chunk, interpret=args.interpret,
+                    filter_window=window, e_skip_d=e_skip,
+                ),
+                args.reps,
+            )
+        except Exception as e:
+            print(f"filter w={window}: FAILED {type(e).__name__}: {e}", flush=True)
+            continue
         print(
             f"filter w={window:2d} widest={args.widest} l_chunk={l_chunk}: "
             f"{cells/best/1e9:7.2f} GCUPS  {best*1e3:8.2f} ms  reps={[f'{x*1e3:.1f}' for x in out]}",
