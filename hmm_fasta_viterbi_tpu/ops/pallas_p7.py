@@ -382,7 +382,11 @@ def p7_pallas_call(
             jax.ShapeDtypeStruct((4, b_pad), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # the lazy kernel's dual chunk body (truncated + replay)
+            # spills ~106 MB of scoped stack at 512 lanes; v5e has
+            # 128 MiB VMEM/core, so give it the headroom (measured OOM
+            # at 100 MB: campaign r4 chain-lab, 106.21M requested)
+            vmem_limit_bytes=(118 if lazy_k > 0 else 100) * 1024 * 1024,
         ),
         interpret=interpret,
     )(

@@ -83,6 +83,7 @@ def make_db_scanner(
     exact: bool = True,
     skip_row0_guard: bool = False,
     stacked: bool = False,
+    widest: int = 256,
 ):
     """Pallas-kernel database scan sharded over ``db`` via shard_map.
 
@@ -105,7 +106,7 @@ def make_db_scanner(
         out = _msv_pallas_padded(
             scores_t, tokens_i8_t, lengths, tr_rows, tr_consts,
             l_chunk=l_chunk, interpret=interpret,
-            exact=exact, skip_row0_guard=skip_row0_guard,
+            exact=exact, skip_row0_guard=skip_row0_guard, widest=widest,
         )
         return out if stacked else out[0]
 

@@ -37,6 +37,12 @@ logger = logging.getLogger(__name__)
 
 Backend = Literal["auto", "pallas", "xla"]
 
+# MSV-filter lane schedule: 512-lane tiles measured 512 GCUPS vs 437 at
+# the 256-lane production default (campaign r4 filtersweep, 512:32:256
+# best of 8 schedules on chip). Exact MSV keeps 256 — 512 regresses it
+# (VMEM/panel pressure; ops.pallas_msv.msv_pallas_call).
+FILTER_WIDEST = 512
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -374,6 +380,7 @@ class MSVScanner:
                 interpret=self.interpret,
                 exact=False,
                 skip_row0_guard=True,
+                widest=FILTER_WIDEST,
             )
             out = scan(
                 dev[0], staged.tokens_i8_t, staged.lengths,
@@ -390,6 +397,7 @@ class MSVScanner:
                 interpret=self.interpret,
                 exact=False,
                 skip_row0_guard=True,
+                widest=FILTER_WIDEST,
             )[0]
         return out[: staged.num_sequences]
 
