@@ -558,6 +558,14 @@ def main() -> int:
             )
             pipe = SearchPipeline(scanner, fast_msv=True, fast_viterbi=True)
             reps = max(args.reps, 2)
+            # untimed warm pass: the cascade's stage kernels + the
+            # data-dependent survivor-compaction shapes all compile on
+            # first touch; without it 3 reps never reach steady state
+            # (r4 campaign best-of-3 read 5.0 GCUPS vs 32.8 warm)
+            _stream_search(
+                s_args, scanner, pipe, [hmm], keep_tokens=False,
+                timer=SectionTimer(),
+            )
             best, best_timer, cells = None, None, 0
             s_reps = []
             for _ in range(reps):

@@ -274,8 +274,13 @@ def _stream_search(args, scanner, pipeline, hmms, keep_tokens: bool,
     }
     total_seqs = 0
     total_cells = 0
+    # producer-side attribution lands in the same timer under a
+    # "producer/" prefix (parse / encode / put_wait) — prefetch_wait
+    # alone cannot distinguish a slow parser from GIL starvation
+    producer_secs: dict = {}
     stream = stream_fasta_prefetch(
-        args.fasta, args.stream, prefer=args.loader, encode_pad_multiple=256
+        args.fasta, args.stream, prefer=args.loader, encode_pad_multiple=256,
+        producer_sections=producer_secs,
     )
     while True:
         with timer.section("prefetch_wait"):
@@ -311,7 +316,11 @@ def _stream_search(args, scanner, pipeline, hmms, keep_tokens: bool,
         total_cells += int(lengths.astype(np.int64).sum()) * sum(
             h.model_length - 1 for h in hmms
         )
-    logger.info("streamed search phases: %s", timer.report())
+    logger.info(
+        "streamed search phases: %s | producer(overlapped): %s",
+        timer.report(),
+        " ".join(f"{k}={v*1e3:.1f}ms" for k, v in producer_secs.items()),
+    )
     out = {}
     for hmm in hmms:
         a = agg[hmm.name]

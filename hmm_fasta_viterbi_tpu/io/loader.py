@@ -95,6 +95,7 @@ def stream_fasta_prefetch(
     prefer: Prefer = "auto",
     encode_pad_multiple: int | None = None,
     depth: int = 2,
+    producer_sections: dict | None = None,
 ):
     """:func:`stream_fasta` with background prefetch: a worker thread
     parses (and optionally encodes) the NEXT batch while the caller's
@@ -115,20 +116,39 @@ def stream_fasta_prefetch(
     """
     import queue as _queue
     import threading
+    import time as _time
 
     q: _queue.Queue = _queue.Queue(maxsize=max(1, depth))
     _END = object()
+    # producer-side wall attribution (parse / encode / queue-full wait),
+    # accumulated into producer_sections when the caller passes a dict —
+    # the prefetch_wait a consumer sees is opaque without it
+    secs = producer_sections if producer_sections is not None else {}
+    secs.setdefault("parse", 0.0)
+    secs.setdefault("encode", 0.0)
+    secs.setdefault("put_wait", 0.0)
 
     def _work():
         try:
-            for batch in stream_fasta(path, batch_records, prefer=prefer):
+            it = stream_fasta(path, batch_records, prefer=prefer)
+            while True:
+                t0 = _time.perf_counter()
+                batch = next(it, None)
+                secs["parse"] += _time.perf_counter() - t0
+                if batch is None:
+                    break
                 if encode_pad_multiple is None:
-                    q.put(batch)
+                    item = batch
                 else:
+                    t0 = _time.perf_counter()
                     tokens, lengths = batch.encode(
                         pad_multiple=encode_pad_multiple
                     )
-                    q.put((batch, tokens, lengths))
+                    secs["encode"] += _time.perf_counter() - t0
+                    item = (batch, tokens, lengths)
+                t0 = _time.perf_counter()
+                q.put(item)
+                secs["put_wait"] += _time.perf_counter() - t0
             q.put(_END)
         except BaseException as e:  # noqa: BLE001 - propagate to consumer
             q.put(e)

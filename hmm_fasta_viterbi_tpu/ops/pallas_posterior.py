@@ -464,7 +464,9 @@ def _posterior_padded(
             jax.ShapeDtypeStruct((8, b_pad), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # 512-lane tiles spill ~102MB of scoped stack (measured OOM
+            # at 100MB, r4 post_lab); v5e has 128MiB VMEM/core
+            vmem_limit_bytes=118 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
@@ -501,7 +503,9 @@ def _posterior_padded(
             jax.ShapeDtypeStruct((8, b_pad), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # 512-lane tiles spill ~102MB of scoped stack (measured OOM
+            # at 100MB, r4 post_lab); v5e has 128MiB VMEM/core
+            vmem_limit_bytes=118 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
