@@ -482,19 +482,25 @@ def main() -> int:
         )
 
         p7 = P7Profile.from_profile(parse_hmm(profile_dir / "1400.hmm"))
-        pb, pl_len = 128, 1024
+        # production --domains hit-batch shape: the old 128 x 1024 row
+        # sat entirely under the tunnel's ~30 ms dispatch floor (a
+        # ZERO-time kernel reads <= 6.5 GCUPS there; the plain Forward
+        # kernel itself reads 6.66 — docs/PERFORMANCE.md round 4).
+        # 1024 hits amortize the floor to ~15%; 512-lane tiles measured
+        # best (6.13 vs 5.88 GCUPS at 128 lanes, r4 post sweep)
+        pb, pl_len = 1024, 1024
         p_tokens, p_lengths = random_tokens(pb, pl_len, seed=2)
         # hw_fallback=False: a Mosaic rejection must error this row
         # (recorded in the JSON "errors"), not silently time the
         # lax.scan fallback under the pallas row name
         posterior_coverage_batch_pallas(
-            p7, p_tokens, p_lengths, hw_fallback=False
+            p7, p_tokens, p_lengths, hw_fallback=False, lanes=512
         )  # warm
         p_reps = []
         for _ in range(max(args.reps, 2)):
             t0 = _time.perf_counter()
             posterior_coverage_batch_pallas(
-                p7, p_tokens, p_lengths, hw_fallback=False
+                p7, p_tokens, p_lengths, hw_fallback=False, lanes=512
             )
             p_reps.append(_time.perf_counter() - t0)
         best = min(p_reps)
