@@ -6,8 +6,8 @@
 test:  ## fast default gate (skips `slow`-marked tests; < ~5 min)
 	python -m pytest tests/ -q -m "not slow"
 
-test-all:  ## the full suite, slow interpret-mode kernels included
-	python -m pytest tests/ -q
+test-all:  ## the full suite, slow interpret-mode kernels included (parallel)
+	python -m pytest tests/ -q -n auto
 
 bench:
 	python bench.py

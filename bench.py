@@ -311,6 +311,25 @@ def main() -> int:
             f"{sweep_cells/1e9:.1f} GCells in {best*1e3:.0f} ms",
             file=sys.stderr,
         )
+        # per-profile rows (reference prints a best time PER profile plus
+        # the sum — benchmark_MSV.cpp:18-23,32-41); these make cross-round
+        # per-profile regressions attributable (VERDICT r4 item 5)
+        for prof in profiles:
+            r = bench_staged(
+                f"sweep_p{prof.model_length - 1}_{scanner.backend}",
+                scanner, prof, sweep_staged, max(2, min(args.reps, 3)),
+            )
+            extras.append(r)
+        per_rows = [e for e in extras if e.name.startswith("sweep_p")]
+        print(
+            "# sweep24 per-profile: "
+            + " ".join(
+                f"{e.model_length - 1}:{e.seconds * 1e3:.0f}ms"
+                for e in per_rows
+            )
+            + f" sum={sum(e.seconds for e in per_rows) * 1e3:.0f}ms",
+            file=sys.stderr,
+        )
         if scanner.backend == "pallas":
             scanner.scan_many(profiles, sweep_staged, mode="filter")
             f_reps = []
@@ -685,7 +704,11 @@ def main() -> int:
     scores = np.asarray(scanner.scan(headline_profile, staged))
     assert np.all(np.isfinite(scores)), "benchmark scan produced non-finite scores"
 
-    print(emit_json_line(primary, extras, errors=errors))
+    # full per-rep detail goes to a file (the driver archives only the
+    # tail of stdout; BENCH_r04's primary row was truncated out by the
+    # old all-in-one line) — the printed line stays compact
+    print(emit_json_line(primary, extras, errors=errors,
+                         detail_path=str(REPO / "bench_detail.json")))
     return 0
 
 

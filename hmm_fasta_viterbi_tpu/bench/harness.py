@@ -183,22 +183,37 @@ def emit_json_line(
     primary: BenchResult,
     extras: list[BenchResult],
     errors: list[str] | None = None,
+    detail_path: "str | None" = None,
 ) -> str:
     """The single JSON line the driver records (BENCH_r{N}.json).
 
     ``errors`` lists extras that failed and were dropped — recorded so a
-    missing stage benchmark is visible in the artifact, not silent."""
+    missing stage benchmark is visible in the artifact, not silent.
+
+    The driver archives only the TAIL (~2000 chars) of bench stdout, so
+    the full per-rep detail (which outgrew that cap in round 4 — the
+    primary row was truncated out of BENCH_r04.json) goes to
+    ``detail_path`` and the printed line stays compact: headline metric
+    plus a name->GCUPS map of every extra."""
+    detail = {
+        "primary": primary.to_json(),
+        "extras": [e.to_json() for e in extras],
+        "errors": errors or [],
+        "env": env_fingerprint(),
+        "baseline_anchor": "1 GCUPS == 14.7 ms per reference 1400-profile pass (BASELINE.md)",
+    }
     payload = {
         "metric": f"GCUPS_M{primary.model_length - 1}",
         "value": round(primary.gcups, 3),
         "unit": "GCUPS",
         "vs_baseline": round(primary.gcups / BASELINE_GCUPS, 3),
-        "detail": {
-            "primary": primary.to_json(),
-            "extras": [e.to_json() for e in extras],
-            "errors": errors or [],
-            "env": env_fingerprint(),
-            "baseline_anchor": "1 GCUPS == 14.7 ms per reference 1400-profile pass (BASELINE.md)",
-        },
+        "extras": {e.name: round(e.gcups, 2) for e in extras},
+        "errors": [e[:100] for e in (errors or [])],
     }
+    if detail_path is not None:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        payload["detail_file"] = detail_path
+    else:
+        payload["detail"] = detail
     return json.dumps(payload)

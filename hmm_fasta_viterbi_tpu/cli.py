@@ -175,11 +175,12 @@ def _cmd_scan_stream(args) -> int:
 
     hmm = load_profile(args.hmm, prefer=args.loader)
     scanner = _make_scanner(args)
+    stage_fn = None
     if args.stage == "msv":
         profile = MSVProfile.from_profile(hmm)
+        stage_fn = scanner.stage  # staged off-thread, double-buffered
 
-        def batch_scores(tokens, lengths):
-            staged = scanner.stage(tokens, lengths)
+        def batch_scores(tokens, lengths, staged):
             return np.asarray(scanner.scan(profile, staged))
     else:  # viterbi / forward
         from .models.p7 import P7Profile
@@ -189,7 +190,7 @@ def _cmd_scan_stream(args) -> int:
         vit_fn, fwd_fn = select_p7_fns(scanner.backend, scanner.interpret)
         p7_fn = vit_fn if args.stage == "viterbi" else fwd_fn
 
-        def batch_scores(tokens, lengths):
+        def batch_scores(tokens, lengths, staged):
             return np.asarray(p7_fn(p7, tokens, lengths))
 
     t0 = time.perf_counter()
@@ -198,13 +199,17 @@ def _cmd_scan_stream(args) -> int:
     total_cells = 0
     # pad_multiple keeps the compiled-shape set small across ragged
     # batches (one executable per 256-residue length bucket); parse +
-    # encode of the next batch overlap the device scan of this one
-    for batch, tokens, lengths in stream_fasta_prefetch(
-        args.fasta, args.stream, prefer=args.loader, encode_pad_multiple=256
+    # encode (+ stage on the msv path) of the next batch overlap the
+    # device scan of this one
+    for item in stream_fasta_prefetch(
+        args.fasta, args.stream, prefer=args.loader, encode_pad_multiple=256,
+        stage_fn=stage_fn,
     ):
+        batch, tokens, lengths = item[:3]
+        staged = item[3] if stage_fn is not None else None
         if not len(batch):
             continue
-        score_chunks.append(batch_scores(tokens, lengths))
+        score_chunks.append(batch_scores(tokens, lengths, staged))
         headers.extend(r.header for r in batch.records)
         total_cells += int(lengths.astype(np.int64).sum()) * (
             hmm.model_length - 1
@@ -250,11 +255,14 @@ def _stream_search(args, scanner, pipeline, hmms, keep_tokens: bool,
     reported number match the whole-file scan exactly; survivor token
     rows are retained only when --domains/--align need them.
 
-    Parse + encode of the NEXT batch overlap the device scan of the
-    current one (io.loader.stream_fasta_prefetch); ``timer`` (a
-    runtime.profiling.SectionTimer) attributes the wall time to
-    prefetch_wait (host parse NOT hidden by device work) / stage /
-    search / compact.
+    Parse + encode + STAGE (pad/transpose/upload) of the NEXT batch
+    overlap the device scan of the current one
+    (io.loader.stream_fasta_prefetch with stage_fn — round 4 measured
+    the synchronous stage at 51% of warm wall); ``timer`` (a
+    runtime.profiling.SectionTimer) attributes the consumer wall to
+    prefetch_wait (producer work NOT hidden by device work) / search /
+    compact, and the producer's own parse/encode/stage seconds land in
+    the same timer under a ``producer/`` prefix after the stream ends.
 
     Returns ({profile_name: _StreamedSearch}, total_seqs, total_cells).
     """
@@ -280,18 +288,16 @@ def _stream_search(args, scanner, pipeline, hmms, keep_tokens: bool,
     producer_secs: dict = {}
     stream = stream_fasta_prefetch(
         args.fasta, args.stream, prefer=args.loader, encode_pad_multiple=256,
-        producer_sections=producer_secs,
+        producer_sections=producer_secs, stage_fn=scanner.stage,
     )
     while True:
         with timer.section("prefetch_wait"):
             item = next(stream, None)
         if item is None:
             break
-        batch, tokens, lengths = item
+        batch, tokens, lengths, staged = item
         if not len(batch):
             continue
-        with timer.section("stage"):
-            staged = scanner.stage(tokens, lengths)
         recs = batch.records
         for hmm in hmms:
             with timer.section("search"):
@@ -316,11 +322,15 @@ def _stream_search(args, scanner, pipeline, hmms, keep_tokens: bool,
         total_cells += int(lengths.astype(np.int64).sum()) * sum(
             h.model_length - 1 for h in hmms
         )
-    logger.info(
-        "streamed search phases: %s | producer(overlapped): %s",
-        timer.report(),
-        " ".join(f"{k}={v*1e3:.1f}ms" for k, v in producer_secs.items()),
-    )
+    # fold producer attribution into the timer (prefixed) so callers —
+    # bench.py's stream row in particular — can PROVE the overlap from
+    # one report: producer/stage large + consumer prefetch_wait small
+    # means staging was hidden behind device work
+    for k, v in producer_secs.items():
+        timer.sections[f"producer/{k}"] = (
+            timer.sections.get(f"producer/{k}", 0.0) + v
+        )
+    logger.info("streamed search phases: %s", timer.report())
     out = {}
     for hmm in hmms:
         a = agg[hmm.name]
@@ -892,12 +902,12 @@ def _cmd_sweep_stream(args, hmms) -> int:
     score_chunks: dict[str, list[np.ndarray]] = {p.name: [] for p in profiles}
     headers: list[str] = []
     total_cells = 0
-    for batch, tokens, lengths in stream_fasta_prefetch(
-        args.fasta, args.stream, prefer=args.loader, encode_pad_multiple=256
+    for batch, tokens, lengths, staged in stream_fasta_prefetch(
+        args.fasta, args.stream, prefer=args.loader, encode_pad_multiple=256,
+        stage_fn=scanner.stage,
     ):
         if not len(batch):
             continue
-        staged = scanner.stage(tokens, lengths)
         results = scanner.scan_many(profiles, staged)
         for p in profiles:
             score_chunks[p.name].append(np.asarray(results[p.name]))

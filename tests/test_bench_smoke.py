@@ -27,5 +27,13 @@ def test_bench_quick_emits_json_line(tmp_path):
     assert payload["unit"] == "GCUPS"
     assert payload["value"] > 0
     assert "vs_baseline" in payload
-    assert payload["detail"]["errors"] == []
-    assert payload["detail"]["primary"]["rep_seconds"]  # per-rep record
+    assert payload["errors"] == []
+    # the printed line is compact (the driver archives only a ~2000-char
+    # tail); the full per-rep detail lives in the file the line names
+    with open(payload["detail_file"]) as fh:
+        detail = json.load(fh)
+    assert detail["errors"] == []
+    assert detail["primary"]["rep_seconds"]  # per-rep record
+    assert detail["primary"]["name"].startswith("headline_1400")
+    # compact line stays under the driver's tail cap even with extras
+    assert len(line) < 1900
