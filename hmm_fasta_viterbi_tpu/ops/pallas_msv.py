@@ -114,6 +114,7 @@ def _msv_kernel(
     unroll: int,
     exact: bool = True,
     skip_row0_guard: bool = False,
+    emit_k60: bool = True,
 ):
     p_idx = pl.program_id(0)
     l_idx = pl.program_id(2)
@@ -124,11 +125,22 @@ def _msv_kernel(
     if exact:
         # exact 3-term bf16 split of the f32 score matrix, hoisted out of
         # the residue loop: emit = (hi + mid + lo) @ onehot reconstructs
-        # f32 exactly in 3 MXU passes (vs 6 for Precision.HIGHEST)
+        # f32 exactly (24-bit mantissa across 3 disjoint 8-bit bf16
+        # pieces; any f32 accumulation order of the three selected terms
+        # is exact because every partial sum is representable)
         s_hi = scores.astype(jnp.bfloat16)
         _r1 = scores - s_hi.astype(jnp.float32)
         s_mid = _r1.astype(jnp.bfloat16)
         s_lo = (_r1 - s_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        if emit_k60:
+            # round 5: fold the 3 passes into ONE matmul by stacking the
+            # split terms along the CONTRACTION axis — [M_pad, 60] @
+            # [60, lanes] with the one-hot tiled 3x. Bitwise-identical
+            # output (same three terms enter the same f32 accumulator);
+            # ~3x fewer MXU passes per step, and the K=20 passes were
+            # the measured majority of the exact step cost (the 1-pass
+            # bf16 filter runs 2.6x the exact kernel's rate, r4 bench)
+            s_cat = jnp.concatenate([s_hi, s_mid, s_lo], axis=1)
     else:
         # filter mode: scores_ref is ALREADY bf16, rounded UP on the host
         # (prepare_scores_t_filter) — one MXU pass, upper-bound scores
@@ -153,24 +165,37 @@ def _msv_kernel(
     s0 = s_out_ref[:, :]
 
     aa_iota = jax.lax.broadcasted_iota(jnp.int32, (20, lanes), 0)
+    if exact and emit_k60:
+        aa_iota60 = jax.lax.broadcasted_iota(jnp.int32, (60, lanes), 0)
     row0_mask = jax.lax.broadcasted_iota(jnp.int32, (m_pad, lanes), 0) == 0
     base = l_idx * chunk_len
 
     def one_step(t, m, j_st, c_st, n_st, b_st):
         tok = tokens_ref[pl.ds(t, 1), :]  # [1, LANES] int32
-        onehot = (aa_iota == tok).astype(jnp.bfloat16)  # [20, LANES], exact
         # selection on the MXU (see module docstring)
         dn = (((1,), (0,)), ((), ()))
-        emit = jax.lax.dot_general(
-            s_hi, onehot, dn, preferred_element_type=jnp.float32
-        )
-        if exact:
-            emit += jax.lax.dot_general(
-                s_mid, onehot, dn, preferred_element_type=jnp.float32
+        if exact and emit_k60:
+            # one-hot tiled 3x along K: row r selects token r % 20
+            onehot = (
+                (aa_iota60 == tok)
+                | (aa_iota60 == tok + 20)
+                | (aa_iota60 == tok + 40)
+            ).astype(jnp.bfloat16)  # [60, LANES], exact
+            emit = jax.lax.dot_general(
+                s_cat, onehot, dn, preferred_element_type=jnp.float32
+            )  # [M_pad, LANES] — f32-exact, see s_cat comment
+        else:
+            onehot = (aa_iota == tok).astype(jnp.bfloat16)  # [20, LANES]
+            emit = jax.lax.dot_general(
+                s_hi, onehot, dn, preferred_element_type=jnp.float32
             )
-            emit += jax.lax.dot_general(
-                s_lo, onehot, dn, preferred_element_type=jnp.float32
-            )  # [M_pad, LANES]
+            if exact:
+                emit += jax.lax.dot_general(
+                    s_mid, onehot, dn, preferred_element_type=jnp.float32
+                )
+                emit += jax.lax.dot_general(
+                    s_lo, onehot, dn, preferred_element_type=jnp.float32
+                )  # [M_pad, LANES]
 
         # j-1 shift as a sublane rotate; the wrapped row 0 is replaced by
         # the dummy-M0 -inf (dp[:, 0] never updates — MSV_HMM.cpp:86,100).
@@ -220,7 +245,8 @@ def _msv_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "l_chunk", "interpret", "unroll", "exact", "skip_row0_guard", "widest"
+        "l_chunk", "interpret", "unroll", "exact", "skip_row0_guard",
+        "widest", "emit_k60",
     ),
 )
 def msv_pallas_call(
@@ -237,6 +263,7 @@ def msv_pallas_call(
     exact: bool = True,
     skip_row0_guard: bool = False,
     widest: int = 256,
+    emit_k60: bool = True,
 ):
     """Raw kernel invocation over padded operands.
 
@@ -274,7 +301,7 @@ def msv_pallas_call(
     score, m_out, s_out = pl.pallas_call(
         functools.partial(
             _msv_kernel, unroll=unroll, exact=exact,
-            skip_row0_guard=skip_row0_guard,
+            skip_row0_guard=skip_row0_guard, emit_k60=emit_k60,
         ),
         grid=grid,
         in_specs=[
@@ -311,7 +338,8 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "l_chunk", "interpret", "exact", "skip_row0_guard", "unroll", "widest"
+        "l_chunk", "interpret", "exact", "skip_row0_guard", "unroll",
+        "widest", "emit_k60",
     ),
 )
 def _msv_pallas_padded(
@@ -326,6 +354,7 @@ def _msv_pallas_padded(
     skip_row0_guard: bool = False,
     unroll: int = STEP_UNROLL,
     widest: int = 256,
+    emit_k60: bool = True,
 ) -> jax.Array:
     """Jitted wrapper building the DP init ON DEVICE (zero extra host
     transfer — the host->device tunnel latency dominates small scans).
@@ -358,6 +387,7 @@ def _msv_pallas_padded(
         skip_row0_guard=skip_row0_guard,
         unroll=unroll,
         widest=widest,
+        emit_k60=emit_k60,
     )
     return score
 

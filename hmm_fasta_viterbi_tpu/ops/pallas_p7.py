@@ -119,6 +119,30 @@ def _select1(scores_bf16, onehot):
     )
 
 
+def _cat3(x):
+    """[M, 60] exact 3-term split stacked along the CONTRACTION axis.
+
+    Round 5: ``_select1(_cat3(x), _onehot3(iota60, tok))`` returns the
+    same f32-exact emission as 3 ``_select3`` passes in ONE MXU pass —
+    the tiled one-hot selects hi[j,tok] + mid[j,tok] + lo[j,tok] into
+    one f32 accumulator, and any accumulation order of the three
+    disjoint-mantissa terms is exact (each partial sum is representable
+    in f32). The K=20 passes were the measured majority of the exact
+    step cost (the 1-pass bf16 MSV filter runs 2.6x the exact kernel's
+    rate, r4 bench), so folding 3 passes into one K=60 matmul attacks
+    the chain-free step directly (VERDICT r4 item 2)."""
+    hi, mid, lo = _split3(x)
+    return jnp.concatenate([hi, mid, lo], axis=1)
+
+
+def _onehot3(iota60, tok):
+    """[60, lanes] one-hot tiled 3x along K: row r selects token r % 20
+    (bf16-exact 0/1). PAD_TOKEN (127) matches no row — emission 0."""
+    return (
+        (iota60 == tok) | (iota60 == tok + 20) | (iota60 == tok + 40)
+    ).astype(jnp.bfloat16)
+
+
 def _lse2(x, y):
     """logaddexp without NaN at (-inf, -inf); Pallas-lowerable ops only."""
     mx = jnp.maximum(x, y)
@@ -174,8 +198,8 @@ def _p7_kernel(
     # combine per residue. Never valid for Forward (logsumexp SUMS D).
     e_skip_d = e_skip_d and not forward
 
-    msc_parts = _split3(msc_ref[:, :])
-    isc_parts = _split3(isc_ref[:, :])
+    msc_cat = _cat3(msc_ref[:, :])
+    isc_cat = _cat3(isc_ref[:, :])
     tmm = trans_ref[:, 0:1]
     tmi = trans_ref[:, 1:2]
     tmd = trans_ref[:, 2:3]
@@ -219,14 +243,14 @@ def _p7_kernel(
     d0 = d_out_ref[:, :]
     s0 = s_out_ref[:, :]
 
-    aa_iota = jax.lax.broadcasted_iota(jnp.int32, (20, lanes), 0)
+    aa_iota = jax.lax.broadcasted_iota(jnp.int32, (60, lanes), 0)
     base = l_idx * chunk_len
 
     def one_step(t, m, i_st, d, j_st, c_st, n_st, b_st):
         tok = tokens_ref[pl.ds(t, 1), :]
-        onehot = (aa_iota == tok).astype(jnp.bfloat16)
-        ms = _select3(msc_parts, onehot)  # [M_pad, LANES]
-        is_ = _select3(isc_parts, onehot)
+        onehot = _onehot3(aa_iota, tok)
+        ms = _select1(msc_cat, onehot)  # [M_pad, LANES] f32-exact, 1 pass
+        is_ = _select1(isc_cat, onehot)
 
         # M: combine of {B entry, M/I/D diagonal}; the three j-1 shifts
         # share one roll by combining before rolling. No row0 mask is
@@ -476,8 +500,8 @@ def _fwd_prob_kernel(
     chunk_len, lanes = tokens_ref.shape
     m_pad = modds_ref.shape[0]
 
-    modds_parts = _split3(modds_ref[:, :])
-    iodds_parts = _split3(iodds_ref[:, :])
+    modds_cat = _cat3(modds_ref[:, :])
+    iodds_cat = _cat3(iodds_ref[:, :])
     tmm = trans_ref[:, 0:1]
     tmi = trans_ref[:, 1:2]
     tmd = trans_ref[:, 2:3]
@@ -511,7 +535,7 @@ def _fwd_prob_kernel(
     d0 = d_out_ref[:, :]
     s0 = s_out_ref[:, :]
 
-    aa_iota = jax.lax.broadcasted_iota(jnp.int32, (20, lanes), 0)
+    aa_iota = jax.lax.broadcasted_iota(jnp.int32, (60, lanes), 0)
     base = l_idx * chunk_len
 
     def delete_chain(a):
@@ -522,9 +546,9 @@ def _fwd_prob_kernel(
 
     def one_step(t, m, i_st, d, j_st, c_st, n_st, b_st):
         tok = tokens_ref[pl.ds(t, 1), :]
-        onehot = (aa_iota == tok).astype(jnp.bfloat16)
-        ms = _select3(modds_parts, onehot)
-        is_ = _select3(iodds_parts, onehot)
+        onehot = _onehot3(aa_iota, tok)
+        ms = _select1(modds_cat, onehot)
+        is_ = _select1(iodds_cat, onehot)
 
         # no row0 masks: kill_last makes the last transition probability
         # 0 (exp(-inf)) and pad rows are all-zero, so the wrapped roll
@@ -990,8 +1014,8 @@ def _p7_lazy_kernel(
     chunk_len, lanes = tokens_ref.shape
     m_pad = msc_ref.shape[0]
 
-    msc_parts = _split3(msc_ref[:, :])
-    isc_parts = _split3(isc_ref[:, :])
+    msc_cat = _cat3(msc_ref[:, :])
+    isc_cat = _cat3(isc_ref[:, :])
     tmm = trans_ref[:, 0:1]
     tmi = trans_ref[:, 1:2]
     tmd = trans_ref[:, 2:3]
@@ -1018,15 +1042,15 @@ def _p7_lazy_kernel(
         d_out_ref[:, :] = d_in_ref[:, :]
         s_out_ref[:, :] = s_in_ref[:, :]
 
-    aa_iota = jax.lax.broadcasted_iota(jnp.int32, (20, lanes), 0)
+    aa_iota = jax.lax.broadcasted_iota(jnp.int32, (60, lanes), 0)
     base = l_idx * chunk_len
 
     def one_step(t, m, i_st, pre_diag, j_st, c_st, n_st, b_st,
                  n_chain, want_cert):
         tok = tokens_ref[pl.ds(t, 1), :]
-        onehot = (aa_iota == tok).astype(jnp.bfloat16)
-        ms = _select3(msc_parts, onehot)  # [M_pad, LANES]
-        is_ = _select3(isc_parts, onehot)
+        onehot = _onehot3(aa_iota, tok)
+        ms = _select1(msc_cat, onehot)  # [M_pad, LANES] f32-exact, 1 pass
+        is_ = _select1(isc_cat, onehot)
 
         diag = pltpu.roll(pre_diag, shift=1, axis=0)
         new_m = ms + jnp.maximum(diag, b_st + tr_b_mk)

@@ -42,6 +42,15 @@ Backend = Literal["auto", "pallas", "xla"]
 # best of 8 schedules on chip). Exact MSV keeps 256 — 512 regresses it
 # (VMEM/panel pressure; ops.pallas_msv.msv_pallas_call).
 FILTER_WIDEST = 512
+# the 512-lane promotion was measured at M=1400 only; beyond this m_pad
+# the filter keeps the r3-measured 256-lane schedule until a campaign
+# measures it (ADVICE r4 — pick_lanes' m_cap would otherwise jump to
+# 4096 and silently widen the unmeasured M=2405 shape)
+FILTER_WIDEST_M_PAD_MAX = 2048
+
+
+def _filter_widest(m_pad: int) -> int:
+    return FILTER_WIDEST if m_pad <= FILTER_WIDEST_M_PAD_MAX else 256
 
 
 def _round_up(x: int, m: int) -> int:
@@ -380,7 +389,7 @@ class MSVScanner:
                 interpret=self.interpret,
                 exact=False,
                 skip_row0_guard=True,
-                widest=FILTER_WIDEST,
+                widest=_filter_widest(dev[0].shape[1]),
             )
             out = scan(
                 dev[0], staged.tokens_i8_t, staged.lengths,
@@ -397,7 +406,7 @@ class MSVScanner:
                 interpret=self.interpret,
                 exact=False,
                 skip_row0_guard=True,
-                widest=FILTER_WIDEST,
+                widest=_filter_widest(dev[0].shape[1]),
             )[0]
         return out[: staged.num_sequences]
 
