@@ -262,7 +262,7 @@ def msv_pallas_call(
     unroll: int = STEP_UNROLL,
     exact: bool = True,
     skip_row0_guard: bool = False,
-    widest: int = 256,
+    widest: int = 512,
     emit_k60: bool = True,
 ):
     """Raw kernel invocation over padded operands.
@@ -276,8 +276,10 @@ def msv_pallas_call(
     l_pad, b_pad = tokens_t.shape
     assert twenty == 20 and b_pad % LANES == 0 and l_pad % l_chunk == 0
     assert m_pad % 8 == 0
-    # 256-lane tiles beat 128 by ~6% on large batches; 512 regresses
-    # here (VMEM/panel pressure) — see docs/PERFORMANCE.md
+    # 512-lane tiles win once the K=60 emission fold halves per-step MXU
+    # traffic: 520.9 vs 403.1 GCUPS at M=1400 exact, 511.2 vs 352.2 at
+    # M=2405 filter (r5 ab_lab on chip); the r4 "512 regresses exact"
+    # verdict predates the fold — see docs/PERFORMANCE.md round 5
     lanes = pick_lanes(
         b_pad, m_pad, widest=widest, m_cap=2048 if widest <= 256 else 4096
     )
@@ -353,7 +355,7 @@ def _msv_pallas_padded(
     exact: bool = True,
     skip_row0_guard: bool = False,
     unroll: int = STEP_UNROLL,
-    widest: int = 256,
+    widest: int = 512,
     emit_k60: bool = True,
 ) -> jax.Array:
     """Jitted wrapper building the DP init ON DEVICE (zero extra host

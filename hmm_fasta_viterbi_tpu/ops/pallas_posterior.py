@@ -40,9 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.p7 import P7Profile
 from .pallas_msv import LANES, blank_ragged_tail, _round_up
 from .pallas_p7 import (
-    _cat3,
-    _onehot3,
-    _select1,
+    _select3,
+    _split3,
     length_transition_probs,
     pick_p7_unroll,
     pick_prob_chain_window,
@@ -110,8 +109,8 @@ def _fwd_save_kernel(
     chunk_len, lanes = tokens_ref.shape
     m_pad = modds_ref.shape[0]
 
-    modds_cat = _cat3(modds_ref[:, :])
-    iodds_cat = _cat3(iodds_ref[:, :])
+    modds_parts = _split3(modds_ref[:, :])
+    iodds_parts = _split3(iodds_ref[:, :])
     tmm = trans_ref[:, 0:1]
     tmi = trans_ref[:, 1:2]
     tmd = trans_ref[:, 2:3]
@@ -141,7 +140,7 @@ def _fwd_save_kernel(
     d0 = d_out_ref[:, :]
     s0 = s_out_ref[:, :]
 
-    aa_iota = jax.lax.broadcasted_iota(jnp.int32, (60, lanes), 0)
+    aa_iota = jax.lax.broadcasted_iota(jnp.int32, (20, lanes), 0)
     base = l_idx * chunk_len
 
     def delete_chain(a):
@@ -150,111 +149,77 @@ def _fwd_save_kernel(
             a = a + rolled * chain_ref[:, k:k + 1]
         return a
 
-    def make_step(guard: bool):
-        """Unrolled step group; ``guard=False`` compiles the interior
-        fast path with the per-step ragged-tail selects removed (the
-        fm-store select is a full [m_pad, lanes] op per step — round-5
-        block gating, VERDICT r4 item 3). Safe because the interior
-        branch only runs when every nonzero-length lane is live through
-        the whole block (pad lanes' garbage stays lane-local: every op
-        is lanewise, rolls/reduces move along the state axis only, and
-        the host slices pad lanes off)."""
+    def one_step(t, m, i_st, d, j_st, c_st, n_st, b_st, log_scale):
+        tok = tokens_ref[pl.ds(t, 1), :]
+        onehot = (aa_iota == tok).astype(jnp.bfloat16)
+        ms = _select3(modds_parts, onehot)
+        is_ = _select3(iodds_parts, onehot)
 
-        def one_step(t, m, i_st, d, j_st, c_st, n_st, b_st, log_scale):
-            tok = tokens_ref[pl.ds(t, 1), :]
-            onehot = _onehot3(aa_iota, tok)
-            ms = _select1(modds_cat, onehot)
-            is_ = _select1(iodds_cat, onehot)
+        diag_stay = m * tmm + i_st * tim + d * tdm
+        diag = pltpu.roll(diag_stay, shift=1, axis=0)
+        new_m = ms * (diag + b_st * pk_b_mk)
+        new_i = is_ * (m * tmi + i_st * tii)
+        a0 = pltpu.roll(new_m * tmd, shift=1, axis=0)
+        new_d = delete_chain(a0)
+        e_st = jnp.sum(new_m + new_d, axis=0, keepdims=True)
+        new_j = j_st * p_loop + e_st * pk_e_j
+        new_c = c_st * p_loop + e_st * pk_e_c
+        new_n = n_st * p_loop
+        new_b = new_n * p_move + new_j * p_move
 
-            diag_stay = m * tmm + i_st * tim + d * tdm
-            diag = pltpu.roll(diag_stay, shift=1, axis=0)
-            new_m = ms * (diag + b_st * pk_b_mk)
-            new_i = is_ * (m * tmi + i_st * tii)
-            a0 = pltpu.roll(new_m * tmd, shift=1, axis=0)
-            new_d = delete_chain(a0)
-            e_st = jnp.sum(new_m + new_d, axis=0, keepdims=True)
-            new_j = j_st * p_loop + e_st * pk_e_j
-            new_c = c_st * p_loop + e_st * pk_e_c
-            new_n = n_st * p_loop
-            new_b = new_n * p_move + new_j * p_move
-
-            # stream the scaled alpha_M row (BF16 — see module
-            # docstring) + its scale for the backward pass
-            if guard:
-                valid = (base + t) < lengths
-                fm_ref[pl.ds(t, 1), :, :] = (
-                    jnp.where(valid, new_m, 0.0).astype(jnp.bfloat16)[None]
-                )
-            else:
-                fm_ref[pl.ds(t, 1), :, :] = new_m.astype(jnp.bfloat16)[None]
-            ls_ref[pl.ds(t, 1), :] = log_scale
-            if not guard:
-                return new_m, new_i, new_d, new_j, new_c, new_n, new_b
-            return (
-                new_m,
-                new_i,
-                new_d,
-                jnp.where(valid, new_j, j_st),
-                jnp.where(valid, new_c, c_st),
-                jnp.where(valid, new_n, n_st),
-                jnp.where(valid, new_b, b_st),
-            )
-
-        def step(u, carry):
-            m, i_st, d, j_st, c_st, n_st, b_st, log_scale, comp = carry
-            for k in range(unroll):
-                m, i_st, d, j_st, c_st, n_st, b_st = one_step(
-                    u * unroll + k, m, i_st, d, j_st, c_st, n_st, b_st,
-                    log_scale,
-                )
-            s = jnp.maximum(
-                jnp.maximum(jnp.max(m, axis=0, keepdims=True), c_st),
-                jnp.maximum(n_st, jnp.float32(1e-30)),
-            )
-            inv = 1.0 / s
-            y = jnp.log(s) - comp
-            t_sum = log_scale + y
-            comp = (t_sum - log_scale) - y
-            # the streamed rows of the NEXT group carry the updated
-            # scale; rows of THIS group were stored against the old one,
-            # and the rescale multiplies them out of the carry only
-            return (
-                m * inv, i_st * inv, d * inv, j_st * inv, c_st * inv,
-                n_st * inv, b_st * inv, t_sum, comp,
-            )
-
-        return step
-
-    carry0 = (m0, i0, d0, s0[0:1, :], s0[1:2, :], s0[2:3, :], s0[3:4, :],
-              s0[4:5, :], s0[5:6, :])
-
-    def write_outs(carry):
-        m, i_st, d, j_st, c_st, n_st, b_st, log_scale, comp = carry
-        m_out_ref[:, :] = m
-        i_out_ref[:, :] = i_st
-        d_out_ref[:, :] = d
-        pad = jnp.zeros((2, lanes), dtype=jnp.float32)
-        s_out_ref[:, :] = jnp.concatenate(
-            [j_st, c_st, n_st, b_st, log_scale, comp, pad], axis=0
+        valid = (base + t) < lengths
+        # stream the scaled alpha_M row (BF16 — see module docstring) +
+        # its scale for the backward pass
+        fm_ref[pl.ds(t, 1), :, :] = (
+            jnp.where(valid, new_m, 0.0).astype(jnp.bfloat16)[None]
         )
-        score_ref[:, :] = jnp.log(c_st) + log_scale + tr_row_ref[1:2, :]
+        ls_ref[pl.ds(t, 1), :] = log_scale
+        return (
+            new_m,
+            new_i,
+            new_d,
+            jnp.where(valid, new_j, j_st),
+            jnp.where(valid, new_c, c_st),
+            jnp.where(valid, new_n, n_st),
+            jnp.where(valid, new_b, b_st),
+        )
 
-    # all_live: every nonzero-length lane runs through this whole block
-    # (zero-length lanes are batch pad — their carries are dead). Scalar
-    # int reduce, NOT an i1 vector (Mosaic cannot legalize those — the
-    # r4 compile-blocker class)
-    live = jnp.where(lengths == 0, jnp.int32(2 ** 30), lengths)
-    all_live = jnp.min(live) >= base + chunk_len
+    def step(u, carry):
+        m, i_st, d, j_st, c_st, n_st, b_st, log_scale, comp = carry
+        for k in range(unroll):
+            m, i_st, d, j_st, c_st, n_st, b_st = one_step(
+                u * unroll + k, m, i_st, d, j_st, c_st, n_st, b_st, log_scale
+            )
+        s = jnp.maximum(
+            jnp.maximum(jnp.max(m, axis=0, keepdims=True), c_st),
+            jnp.maximum(n_st, jnp.float32(1e-30)),
+        )
+        inv = 1.0 / s
+        y = jnp.log(s) - comp
+        t_sum = log_scale + y
+        comp = (t_sum - log_scale) - y
+        # the streamed rows of the NEXT group carry the updated scale;
+        # rows of THIS group were stored against the old one, and the
+        # rescale multiplies them out of the carry only
+        return (
+            m * inv, i_st * inv, d * inv, j_st * inv, c_st * inv,
+            n_st * inv, b_st * inv, t_sum, comp,
+        )
 
-    @pl.when(all_live)
-    def _():
-        write_outs(jax.lax.fori_loop(
-            0, chunk_len // unroll, make_step(False), carry0))
+    m, i_st, d, j_st, c_st, n_st, b_st, log_scale, comp = jax.lax.fori_loop(
+        0, chunk_len // unroll, step,
+        (m0, i0, d0, s0[0:1, :], s0[1:2, :], s0[2:3, :], s0[3:4, :],
+         s0[4:5, :], s0[5:6, :]),
+    )
 
-    @pl.when(jnp.logical_not(all_live))
-    def _():
-        write_outs(jax.lax.fori_loop(
-            0, chunk_len // unroll, make_step(True), carry0))
+    m_out_ref[:, :] = m
+    i_out_ref[:, :] = i_st
+    d_out_ref[:, :] = d
+    pad = jnp.zeros((2, lanes), dtype=jnp.float32)
+    s_out_ref[:, :] = jnp.concatenate(
+        [j_st, c_st, n_st, b_st, log_scale, comp, pad], axis=0
+    )
+    score_ref[:, :] = jnp.log(c_st) + log_scale + tr_row_ref[1:2, :]
 
 
 def _bwd_cov_kernel(
@@ -269,36 +234,18 @@ def _bwd_cov_kernel(
 
     Grid l reversed (index maps); within a block, steps run descending.
     Carry: beta_M/beta_I [m_pad, lanes] + specials [8, lanes]
-    (b_j, b_c, lsb, kahan, pad4). At each lane's final position the
+    (b_j, b_c, b_n, lsb, kahan, pad3). At each lane's final position the
     carry resets to the L-boundary values (multihit local model:
     b_c = p_move, b_m = tmd*up(bd_L) + be_L — reference
     ops/p7_scan.py backward_scan init).
-
-    beta_N is NOT carried: beta_N[L]=0=beta_J[L] and both obey
-    x[t] = p_loop*x[t+1] + p_move*beta_B[t+1] with the identical op
-    order, so beta_N ≡ beta_J bitwise at every t (round 5 — one carry
-    row, one madd and one select fewer per step).
-
-    Round-5 block gating (VERDICT r4 item 3): the boundary install is
-    7 selects (2 of them full [m_pad, lanes]) and the ragged freeze 4
-    more (2 full-size) PER STEP — but a block needs either only when
-    some lane's LAST position falls inside it: a lane's invalid
-    (post-end) positions are all processed BEFORE its install (the grid
-    descends), and the install overwrites every carry component, so
-    pre-install garbage is dead on arrival; post-install positions are
-    all valid. Blocks with no lane end take an install-and-freeze-free
-    fast path (cov rows stay masked — they are consumer-visible); the
-    two variants merge through the out-refs like the lazy-Viterbi
-    branch pair. Garbage stays lane-local: every op is lanewise and
-    rolls/reduces move along the state axis only.
     """
     l_idx = pl.program_id(1)
     num_l = pl.num_programs(1)
     chunk_len, lanes = tokens_ref.shape
     m_pad = modds_ref.shape[0]
 
-    modds_cat = _cat3(modds_ref[:, :])
-    iodds_cat = _cat3(iodds_ref[:, :])
+    modds_parts = _split3(modds_ref[:, :])
+    iodds_parts = _split3(iodds_ref[:, :])
     tmm = trans_ref[:, 0:1]
     tmi = trans_ref[:, 1:2]
     tmd = trans_ref[:, 2:3]
@@ -344,114 +291,92 @@ def _bwd_cov_kernel(
     bi0 = bi_out_ref[:, :]
     s0 = s_out_ref[:, :]
 
-    aa_iota = jax.lax.broadcasted_iota(jnp.int32, (60, lanes), 0)
+    aa_iota = jax.lax.broadcasted_iota(jnp.int32, (20, lanes), 0)
     # REVERSED grid: this block covers global positions
     # [(num_l-1-l_idx)*chunk, ...); index maps already fetch that block
     base = (num_l - 1 - l_idx) * chunk_len
 
-    def make_step(boundary: bool):
-        """Unrolled step group; ``boundary=False`` is the fast path with
-        the per-step install + freeze selects removed (see kernel
-        docstring for why a no-end block never needs either)."""
+    def one_step(u, bm, bi, b_j, b_c, b_n, lsb, comp):
+        t = chunk_len - 1 - u  # descend within the block
+        pos = base + t
+        at_end = pos == (lengths - 1)
+        valid = pos < lengths
 
-        def one_step(u, bm, bi, b_j, b_c, lsb, comp):
-            t = chunk_len - 1 - u  # descend within the block
-            pos = base + t
-            valid = pos < lengths
-            if boundary:
-                at_end = pos == (lengths - 1)
-                # install the boundary at each lane's last position
-                bm = jnp.where(at_end, bm_l, bm)
-                bi = jnp.where(at_end, 0.0, bi)
-                b_j = jnp.where(at_end, 0.0, b_j)
-                b_c = jnp.where(at_end, bc_l, b_c)
-                lsb = jnp.where(at_end, 0.0, lsb)
-                comp = jnp.where(at_end, 0.0, comp)
+        # install the boundary at each lane's last position
+        bm = jnp.where(at_end, bm_l, bm)
+        bi = jnp.where(at_end, 0.0, bi)
+        b_j = jnp.where(at_end, 0.0, b_j)
+        b_c = jnp.where(at_end, bc_l, b_c)
+        b_n = jnp.where(at_end, 0.0, b_n)
+        lsb = jnp.where(at_end, 0.0, lsb)
+        comp = jnp.where(at_end, 0.0, comp)
 
-            # coverage at position t pairs alpha row t with beta row t
-            fm = fm_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)
-            lsf = ls_ref[pl.ds(t, 1), :]
-            cov = jnp.sum(fm * bm, axis=0, keepdims=True)
-            cov = cov * jnp.exp(lsf + lsb - total)
-            cov_ref[pl.ds(t, 1), :] = jnp.where(valid, cov, 0.0)
+        # coverage at position t pairs alpha row t with beta row t
+        fm = fm_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)
+        lsf = ls_ref[pl.ds(t, 1), :]
+        cov = jnp.sum(fm * bm, axis=0, keepdims=True)
+        cov = cov * jnp.exp(lsf + lsb - total)
+        cov_ref[pl.ds(t, 1), :] = jnp.where(valid, cov, 0.0)
 
-            # update with token t -> beta at t-1
-            tok = tokens_ref[pl.ds(t, 1), :]
-            onehot = _onehot3(aa_iota, tok)
-            ms = _select1(modds_cat, onehot)
-            is_ = _select1(iodds_cat, onehot)
+        # update with token t -> beta at t-1
+        tok = tokens_ref[pl.ds(t, 1), :]
+        onehot = (aa_iota == tok).astype(jnp.bfloat16)
+        ms = _select3(modds_parts, onehot)
+        is_ = _select3(iodds_parts, onehot)
 
-            memit = ms * bm
-            iemit = is_ * bi
-            m_next = roll_up(memit)
-            new_bspec = pk_b_mk * jnp.sum(memit, axis=0, keepdims=True)
-            new_j = p_loop * b_j + p_move * new_bspec
-            new_c = p_loop * b_c
-            new_e = pk_e_c * new_c + pk_e_j * new_j
-            new_i = tim * m_next + tii * iemit
-            a0 = tdm * m_next + new_e
-            new_d = suffix_chain(a0)
-            new_m = tmm * m_next + tmi * iemit + tmd * roll_up(new_d) + new_e
+        memit = ms * bm
+        iemit = is_ * bi
+        m_next = roll_up(memit)
+        new_bspec = pk_b_mk * jnp.sum(memit, axis=0, keepdims=True)
+        new_j = p_loop * b_j + p_move * new_bspec
+        new_n = p_loop * b_n + p_move * new_bspec
+        new_c = p_loop * b_c
+        new_e = pk_e_c * new_c + pk_e_j * new_j
+        new_i = tim * m_next + tii * iemit
+        a0 = tdm * m_next + new_e
+        new_d = suffix_chain(a0)
+        new_m = tmm * m_next + tmi * iemit + tmd * roll_up(new_d) + new_e
 
-            if not boundary:
-                return new_m, new_i, new_j, new_c, lsb, comp
-            return (
-                jnp.where(valid, new_m, bm),
-                jnp.where(valid, new_i, bi),
-                jnp.where(valid, new_j, b_j),
-                jnp.where(valid, new_c, b_c),
-                lsb,
-                comp,
-            )
-
-        def step(g, carry):
-            bm, bi, b_j, b_c, lsb, comp = carry
-            for k in range(unroll):
-                bm, bi, b_j, b_c, lsb, comp = one_step(
-                    g * unroll + k, bm, bi, b_j, b_c, lsb, comp
-                )
-            # rescale (scale-invariant; Kahan-compensated like forward).
-            # beta_N ≡ beta_J (kernel docstring), so b_j stands in for
-            # the b_n the round-4 kernel max'd here — bitwise the same
-            s = jnp.maximum(
-                jnp.maximum(jnp.max(bm, axis=0, keepdims=True), b_c),
-                jnp.maximum(b_j, jnp.float32(1e-30)),
-            )
-            inv = 1.0 / s
-            y = jnp.log(s) - comp
-            t_sum = lsb + y
-            comp = (t_sum - lsb) - y
-            return (bm * inv, bi * inv, b_j * inv, b_c * inv, t_sum, comp)
-
-        return step
-
-    carry0 = (bm0, bi0, s0[0:1, :], s0[1:2, :], s0[2:3, :], s0[3:4, :])
-
-    def write_outs(carry):
-        bm, bi, b_j, b_c, lsb, comp = carry
-        bm_out_ref[:, :] = bm
-        bi_out_ref[:, :] = bi
-        pad = jnp.zeros((4, lanes), dtype=jnp.float32)
-        s_out_ref[:, :] = jnp.concatenate(
-            [b_j, b_c, lsb, comp, pad], axis=0
+        return (
+            jnp.where(valid, new_m, bm),
+            jnp.where(valid, new_i, bi),
+            jnp.where(valid, new_j, b_j),
+            jnp.where(valid, new_c, b_c),
+            jnp.where(valid, new_n, b_n),
+            lsb,
+            comp,
         )
 
-    # some lane's last position falls in this block? f32 0/1 reduce to a
-    # scalar — NOT an i1 vector (the r4 Mosaic compile-blocker class)
-    ends = lengths - 1
-    has_end = jnp.max(jnp.where(
-        (ends >= base) & (ends < base + chunk_len), 1.0, 0.0
-    )) > 0.0
+    def step(g, carry):
+        bm, bi, b_j, b_c, b_n, lsb, comp = carry
+        for k in range(unroll):
+            bm, bi, b_j, b_c, b_n, lsb, comp = one_step(
+                g * unroll + k, bm, bi, b_j, b_c, b_n, lsb, comp
+            )
+        # rescale (scale-invariant; Kahan-compensated like forward)
+        s = jnp.maximum(
+            jnp.maximum(jnp.max(bm, axis=0, keepdims=True), b_c),
+            jnp.maximum(b_n, jnp.float32(1e-30)),
+        )
+        inv = 1.0 / s
+        y = jnp.log(s) - comp
+        t_sum = lsb + y
+        comp = (t_sum - lsb) - y
+        return (bm * inv, bi * inv, b_j * inv, b_c * inv, b_n * inv,
+                t_sum, comp)
 
-    @pl.when(has_end)
-    def _():
-        write_outs(jax.lax.fori_loop(
-            0, chunk_len // unroll, make_step(True), carry0))
+    bm, bi, b_j, b_c, b_n, lsb, comp = jax.lax.fori_loop(
+        0, chunk_len // unroll, step,
+        (bm0, bi0, s0[0:1, :], s0[1:2, :], s0[2:3, :], s0[3:4, :],
+         s0[4:5, :]),
+    )
 
-    @pl.when(jnp.logical_not(has_end))
-    def _():
-        write_outs(jax.lax.fori_loop(
-            0, chunk_len // unroll, make_step(False), carry0))
+    bm_out_ref[:, :] = bm
+    bi_out_ref[:, :] = bi
+    pad = jnp.zeros((3, lanes), dtype=jnp.float32)
+    s_out_ref[:, :] = jnp.concatenate(
+        [b_j, b_c, b_n, lsb, comp, pad], axis=0
+    )
 
 
 def _pick(m_pad: int, lanes: int = LANES) -> tuple[int, int]:

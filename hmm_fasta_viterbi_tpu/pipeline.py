@@ -37,20 +37,18 @@ logger = logging.getLogger(__name__)
 
 Backend = Literal["auto", "pallas", "xla"]
 
-# MSV-filter lane schedule: 512-lane tiles measured 512 GCUPS vs 437 at
-# the 256-lane production default (campaign r4 filtersweep, 512:32:256
-# best of 8 schedules on chip). Exact MSV keeps 256 — 512 regresses it
-# (VMEM/panel pressure; ops.pallas_msv.msv_pallas_call).
+# MSV lane schedule: 512-lane tiles win for BOTH filter and exact once
+# the K=60 emission fold halves per-step MXU traffic (r5 ab_lab: exact
+# 520.9 vs 403.1 at M=1400; filter 511.2 vs 352.2 at M=2405). The r4
+# "exact keeps 256" verdict predates the fold.
 FILTER_WIDEST = 512
-# the 512-lane promotion was measured at M=1400 only; beyond this m_pad
-# the filter keeps the r3-measured 256-lane schedule until a campaign
-# measures it (ADVICE r4 — pick_lanes' m_cap would otherwise jump to
-# 4096 and silently widen the unmeasured M=2405 shape)
-FILTER_WIDEST_M_PAD_MAX = 2048
+# r5 ab_lab measured the 512-lane filter at M=2405 too: 511.2 vs 352.2
+# GCUPS (ADVICE r4 wanted the big-M shape measured before shipping the
+# global default — it now is, and 512 wins at every measured M)
 
 
 def _filter_widest(m_pad: int) -> int:
-    return FILTER_WIDEST if m_pad <= FILTER_WIDEST_M_PAD_MAX else 256
+    return FILTER_WIDEST
 
 
 def _round_up(x: int, m: int) -> int:

@@ -143,7 +143,7 @@ def stage_posterior(sc, batch=1024, seq_len=1024):
     tokens, lengths = random_tokens(batch, seq_len, seed=2)
     cells = batch * seq_len * (p7.model_length - 1)
     _, best, times = best_of(lambda: posterior_coverage_batch_pallas(
-        p7, tokens, lengths, hw_fallback=False, lanes=512))
+        p7, tokens, lengths, hw_fallback=False, lanes=512)[0])
     print(f"posterior B={batch} L={seq_len}: {cells/best/1e9:.2f} GCUPS "
           f"({best*1e3:.1f} ms) reps={[round(t, 4) for t in times]}",
           flush=True)
