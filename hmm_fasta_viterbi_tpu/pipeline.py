@@ -461,6 +461,15 @@ class MSVScanner:
         return out[: staged.num_sequences]
 
     # -- full-profile stages over a staged database -----------------------
+    def _p7_chunk(self) -> int:
+        """L-chunk for the Viterbi/Forward stage kernels: 128 measured
+        faster than the staging default 256 once the K=60 emission fold
+        made these kernels VPU-bound (r5 vit_lab sweep + production-path
+        A/B: lazy 368.5 -> 302.0 ms, forward 346.3 -> 313.3 ms at batch
+        2048, bitwise-equal scores). Staged l_pad is a multiple of
+        self.l_chunk, so 128 divides it whenever self.l_chunk does."""
+        return 128 if self.l_chunk % 128 == 0 else self.l_chunk
+
     def scan_p7(self, p7, staged: StagedDatabase, stage: str = "viterbi") -> jax.Array:
         """Viterbi/Forward scores of every staged sequence -> f32 [B].
 
@@ -496,7 +505,7 @@ class MSVScanner:
                 scan = make_db_p7_scanner(
                     self.mesh,
                     stage=stage,
-                    l_chunk=self.l_chunk,
+                    l_chunk=self._p7_chunk(),
                     interpret=self.interpret,
                     e_skip_d=eskip,
                     lazy_k=dev[5],
@@ -517,11 +526,11 @@ class MSVScanner:
                     staged.tr_rows,
                     staged.tr_probs,
                     dev[4],
-                    l_chunk=self.l_chunk,
+                    l_chunk=self._p7_chunk(),
                     interpret=self.interpret,
                 )
             else:
-                shape_key = (int(dev[0].shape[0]), self.l_chunk)
+                shape_key = (int(dev[0].shape[0]), self._p7_chunk())
                 if dev[5] and self._lazy_hw.get(shape_key) is False:
                     # this shape's lazy kernel already failed Mosaic
                     # compile — rebuild (and re-cache) the eager pack
@@ -538,7 +547,7 @@ class MSVScanner:
                         staged.lengths,
                         staged.tr_rows,
                         d[4],
-                        l_chunk=self.l_chunk,
+                        l_chunk=self._p7_chunk(),
                         interpret=self.interpret,
                         forward=False,
                         e_skip_d=eskip,
