@@ -131,15 +131,6 @@ def stream_fasta_prefetch(
     if stage_fn is not None and encode_pad_multiple is None:
         raise ValueError("stage_fn requires encode_pad_multiple")
     q: _queue.Queue = _queue.Queue(maxsize=max(1, depth))
-    # with stage_fn the producer splits into TWO pipeline threads —
-    # parse+encode -> q_mid -> stage -> q — because the serial
-    # parse->encode->stage chain became the streamed search's long pole
-    # once the consumer-side staging moved here (r5 bench phases:
-    # producer 1.2 s vs device search 1.06 s per rep). Each hop
-    # overlaps: parse of batch N+2, stage of N+1, search of N.
-    q_mid: "_queue.Queue | None" = (
-        _queue.Queue(maxsize=max(1, depth)) if stage_fn is not None else None
-    )
     _END = object()
     # producer-side wall attribution (parse / encode / stage /
     # queue-full wait), accumulated into producer_sections when the
@@ -150,11 +141,9 @@ def stream_fasta_prefetch(
     secs.setdefault("encode", 0.0)
     if stage_fn is not None:
         secs.setdefault("stage", 0.0)
-        secs.setdefault("stage_get_wait", 0.0)
     secs.setdefault("put_wait", 0.0)
 
     def _work():
-        out_q = q_mid if q_mid is not None else q
         try:
             it = stream_fasta(path, batch_records, prefer=prefer)
             while True:
@@ -171,38 +160,22 @@ def stream_fasta_prefetch(
                         pad_multiple=encode_pad_multiple
                     )
                     secs["encode"] += _time.perf_counter() - t0
-                    item = (batch, tokens, lengths)
+                    if stage_fn is None:
+                        item = (batch, tokens, lengths)
+                    else:
+                        t0 = _time.perf_counter()
+                        staged = stage_fn(tokens, lengths)
+                        secs["stage"] += _time.perf_counter() - t0
+                        item = (batch, tokens, lengths, staged)
                 t0 = _time.perf_counter()
-                out_q.put(item)
+                q.put(item)
                 secs["put_wait"] += _time.perf_counter() - t0
-            out_q.put(_END)
-        except BaseException as e:  # noqa: BLE001 - propagate to consumer
-            out_q.put(e)
-
-    def _stage_work():
-        try:
-            while True:
-                t0 = _time.perf_counter()
-                item = q_mid.get()
-                secs["stage_get_wait"] += _time.perf_counter() - t0
-                if item is _END or isinstance(item, BaseException):
-                    q.put(item)
-                    return
-                batch, tokens, lengths = item
-                t0 = _time.perf_counter()
-                staged = stage_fn(tokens, lengths)
-                secs["stage"] += _time.perf_counter() - t0
-                q.put((batch, tokens, lengths, staged))
+            q.put(_END)
         except BaseException as e:  # noqa: BLE001 - propagate to consumer
             q.put(e)
 
-    threads = [threading.Thread(target=_work, daemon=True,
-                                name="fasta-prefetch")]
-    if q_mid is not None:
-        threads.append(threading.Thread(target=_stage_work, daemon=True,
-                                        name="fasta-stage"))
-    for t in threads:
-        t.start()
+    t = threading.Thread(target=_work, daemon=True, name="fasta-prefetch")
+    t.start()
     try:
         while True:
             item = q.get()
@@ -212,18 +185,14 @@ def stream_fasta_prefetch(
                 raise item
             yield item
     finally:
-        # consumer abandoned the stream: drain so the workers can exit
-        # (daemon threads; bounded queues would otherwise block forever)
-        while any(t.is_alive() for t in threads):
-            for qq in ([q, q_mid] if q_mid is not None else [q]):
-                try:
-                    qq.get_nowait()
-                except _queue.Empty:
-                    pass
-            for t in threads:
-                t.join(0.02)
-    for t in threads:
-        t.join(timeout=5)
+        # consumer abandoned the stream: drain so the worker can exit
+        # (daemon thread; bounded queue would otherwise block it forever)
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                t.join(0.05)
+    t.join(timeout=5)
 
 
 def load_fasta_arrays(
