@@ -399,7 +399,11 @@ def main() -> int:
         from hmm_fasta_viterbi_tpu.models.p7 import P7Profile
 
         p7 = P7Profile.from_profile(parse_hmm(profile_dir / "1400.hmm"))
-        sb = max(128, args.batch // 8)
+        # batch/4 (r5, was batch/8): at batch 2048 the tunnel's fixed
+        # ~36 ms dispatch was 23% of the viterbi row's 156 ms wall —
+        # production (cascade) runs these kernels at full staged
+        # batches, so the row should amortize the floor the same way
+        sb = max(128, args.batch // 4)
         s_staged = _substage(scanner, staged, tokens, lengths, sb)
         for nm in ("viterbi", "forward"):
             r = bench_staged(
