@@ -83,7 +83,7 @@ def make_db_scanner(
     exact: bool = True,
     skip_row0_guard: bool = False,
     stacked: bool = False,
-    widest: int = 256,
+    widest: int = 512,
 ):
     """Pallas-kernel database scan sharded over ``db`` via shard_map.
 
