@@ -546,6 +546,40 @@ def main() -> int:
             f"({best*1e3:.1f} ms, batch {pb} x L {pl_len})",
             file=sys.stderr,
         )
+        # the production --domains path ships a device-thresholded uint8
+        # mask instead of f32 rows (1/4 the transfer; r5) — the row the
+        # envelope extractor actually pays for
+        posterior_coverage_batch_pallas(
+            p7, p_tokens, p_lengths, hw_fallback=False, lanes=512,
+            mask_threshold=0.5,
+        )  # warm
+        m_reps = []
+        for _ in range(max(args.reps, 2)):
+            t0 = _time.perf_counter()
+            posterior_coverage_batch_pallas(
+                p7, p_tokens, p_lengths, hw_fallback=False, lanes=512,
+                mask_threshold=0.5,
+            )
+            m_reps.append(_time.perf_counter() - t0)
+        mbest = min(m_reps)
+        extras.append(
+            BenchResult(
+                name=f"posterior_mask_1400_{scanner.backend}",
+                gcups=cells / mbest / 1e9,
+                seconds=mbest,
+                cells=cells,
+                batch=pb,
+                seq_len=pl_len,
+                model_length=p7.model_length,
+                repetitions=max(args.reps, 2),
+                rep_seconds=m_reps,
+            )
+        )
+        print(
+            f"# posterior-mask: {cells/mbest/1e9:.2f} GCUPS decode "
+            f"({mbest*1e3:.1f} ms, device-thresholded envelope mask)",
+            file=sys.stderr,
+        )
 
     if args.stages and scanner.backend == "pallas":
         _extra(run_posterior)

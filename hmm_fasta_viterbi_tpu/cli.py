@@ -655,9 +655,12 @@ def _hit_envelopes(
     if backend == "pallas":
         from .ops.pallas_posterior import posterior_coverage_batch_pallas
 
+        # mask_threshold: the only thing read below is cov >= 0.5, so
+        # threshold on device and ship a uint8 mask (1/4 the transfer;
+        # the f32 rows were ~1/3 of the decode wall on the tunnel)
         cov, _ = posterior_coverage_batch_pallas(
             p7, tokens[hit_idx, :l_max], lengths[hit_idx],
-            interpret=interpret, mesh=mesh,
+            interpret=interpret, mesh=mesh, mask_threshold=0.5,
         )
     else:
         from .ops.p7_scan import posterior_coverage_batch_xla

@@ -515,6 +515,22 @@ def _posterior_padded(
     return cov, score[0]
 
 
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def _device_mask(cov, threshold: float):
+    """uint8 0/1 of ``cov >= threshold`` — computed on device so the
+    host transfer is 1/4 the f32 coverage rows."""
+    return (cov >= jnp.float32(threshold)).astype(jnp.uint8)
+
+
+def _maybe_mask(cov_tot, threshold):
+    cov, tot = cov_tot
+    if threshold is None:
+        return cov, tot
+    return (np.asarray(cov) >= np.float32(threshold)).astype(np.uint8), tot
+
+
 def posterior_coverage_batch_pallas(
     p7: P7Profile,
     tokens,
@@ -524,6 +540,7 @@ def posterior_coverage_batch_pallas(
     lanes: int = LANES,
     mesh=None,
     hw_fallback: bool = True,
+    mask_threshold: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batched coverage via the two-pass Pallas decode.
 
@@ -536,6 +553,14 @@ def posterior_coverage_batch_pallas(
     batch over the mesh's db axis (parallel.database
     make_db_posterior_scanner) — the --domains path rides the mesh like
     every other stage.
+
+    ``mask_threshold`` (round 5): threshold the coverage ON DEVICE and
+    return a uint8 0/1 mask instead of f32 rows — the only thing the
+    --domains envelope extractor reads is ``cov >= 0.5``, and the f32
+    transfer was ~1/3 of the decode's e2e wall on the remote tunnel
+    (4 MB at ~47 MB/s per 1024x1024 hit batch; docs/PERFORMANCE.md
+    round-5 floor table). Thresholding commutes with the host version
+    exactly (same f32 compare, just executed on device).
     """
     tokens = np.asarray(tokens, dtype=np.int32)
     lengths_np = np.asarray(lengths, dtype=np.int32)
@@ -557,7 +582,10 @@ def posterior_coverage_batch_pallas(
     if bytes_per_lane * gran > POST_HBM_BYTES:
         from .p7_scan import posterior_coverage_batch_xla
 
-        return posterior_coverage_batch_xla(p7, tokens, lengths_np)
+        return _maybe_mask(
+            posterior_coverage_batch_xla(p7, tokens, lengths_np),
+            mask_threshold,
+        )
     if batch_chunk is None:
         batch_chunk = max(
             gran, POST_HBM_BYTES // (bytes_per_lane * gran) * gran
@@ -569,7 +597,8 @@ def posterior_coverage_batch_pallas(
     schain_dev = jnp.asarray(schain)
     tr_consts = jnp.asarray(packed[4])  # [1, 3] probability scalars
 
-    cov_out = np.zeros((b, l_pad), dtype=np.float32)
+    out_dtype = np.float32 if mask_threshold is None else np.uint8
+    cov_out = np.zeros((b, l_pad), dtype=out_dtype)
     tot_out = np.zeros(b, dtype=np.float32)
     scan_fn = None
     if mesh is not None:
@@ -583,7 +612,10 @@ def posterior_coverage_batch_pallas(
         # this shape's kernel already failed Mosaic compile
         from .p7_scan import posterior_coverage_batch_xla
 
-        return posterior_coverage_batch_xla(p7, tokens, lengths_np)
+        return _maybe_mask(
+            posterior_coverage_batch_xla(p7, tokens, lengths_np),
+            mask_threshold,
+        )
     for lo in range(0, b, batch_chunk):
         hi = min(lo + batch_chunk, b)
         nb = hi - lo
@@ -610,6 +642,8 @@ def posterior_coverage_batch_pallas(
                 jnp.asarray(tr_rows), jnp.asarray(probs2), tr_consts,
                 interpret=interpret, lanes=lanes,
             )
+        if mask_threshold is not None:
+            cov = _device_mask(cov, float(mask_threshold))
         try:
             cov_np = np.asarray(cov)
         except Exception as e:  # pragma: no cover — hardware only
@@ -627,7 +661,10 @@ def posterior_coverage_batch_pallas(
             _POST_HW_VERDICT[hw_key] = False
             from .p7_scan import posterior_coverage_batch_xla
 
-            return posterior_coverage_batch_xla(p7, tokens, lengths_np)
+            return _maybe_mask(
+                posterior_coverage_batch_xla(p7, tokens, lengths_np),
+                mask_threshold,
+            )
         _POST_HW_VERDICT[hw_key] = True
         cov_out[lo:hi] = cov_np[:, :nb].T
         tot_out[lo:hi] = np.asarray(tot)[:nb]

@@ -445,3 +445,25 @@ def test_multidomain_envelope_vs_oracle(profile_dir):
     s0, s1 = scores[(0, 0)], scores[(0, 1)]
     assert s0 > 0 and s1 > 0
     assert abs(s0 - s1) < 0.1 * max(abs(s0), abs(s1)) + 1.0
+
+
+def test_posterior_mask_threshold_matches_host(p7_100):
+    """mask_threshold=0.5 must equal thresholding the f32 coverage on
+    the host (the --domains envelope extractor's only read), including
+    the xla-fallback path."""
+    from hmm_fasta_viterbi_tpu.ops.pallas_posterior import (
+        posterior_coverage_batch_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    tokens = rng.integers(0, 20, size=(4, 96)).astype(np.int32)
+    lengths = np.array([96, 1, 57, 96], dtype=np.int32)
+    cov, tot = posterior_coverage_batch_pallas(
+        p7_100, tokens, lengths, interpret=True
+    )
+    mask, tot2 = posterior_coverage_batch_pallas(
+        p7_100, tokens, lengths, interpret=True, mask_threshold=0.5
+    )
+    assert mask.dtype == np.uint8
+    np.testing.assert_array_equal(mask, (cov >= 0.5).astype(np.uint8))
+    np.testing.assert_array_equal(tot, tot2)
