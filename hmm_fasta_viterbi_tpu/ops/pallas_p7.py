@@ -54,7 +54,11 @@ import logging
 
 logger = logging.getLogger(__name__)
 
-DEFAULT_L_CHUNK = 256
+# 128 (r5, was 256): once the K=60 emission fold made these kernels
+# VPU-bound, 128-residue chunks measured faster at every unroll
+# (tools/vit_lab.py sweep; production A/B bitwise-equal — lazy Viterbi
+# 368.5 -> 302.0 ms, Forward 346.3 -> 313.3 ms at batch 2048, M=1400)
+DEFAULT_L_CHUNK = 128
 STEP_UNROLL = 8
 # lazy-Viterbi hardware-compile verdicts keyed by (m_pad, l_chunk,
 # group_cert): Mosaic can reject schedules the interpreter accepts
