@@ -111,3 +111,35 @@ def test_scan_many_bucketed(profile_dir, fasta_dir):
     for p in profiles:
         want = msv_oracle_batch(p, tokens, lengths)
         np.testing.assert_allclose(results[p.name], want, atol=TOL, rtol=0)
+
+
+def test_emit_k60_fold_bitwise_equals_3pass(profile):
+    """The K=60 emission fold (round 5: [hi|mid|lo] stacked along the
+    contraction axis, one MXU pass) must be BITWISE identical to the
+    3-pass split — the fold's whole claim is exactness (the three
+    disjoint-mantissa terms sum exactly in f32 in any order). On-chip
+    A/B: docs/campaign_r05/ab_msv_k60.log (197.7 -> 403.0 GCUPS)."""
+    from hmm_fasta_viterbi_tpu.ops.pallas_msv import (
+        _msv_pallas_padded, _prepare_batch, prepare_scores_t,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(0, 20, size=(4, 200)).astype(np.int32)
+    lengths = np.array([200, 3, 117, 200], dtype=np.int32)
+    tokens_t, lengths_p, tr_rows, b, l_chunk = _prepare_batch(
+        tokens, lengths, 256
+    )
+    scores_t = prepare_scores_t(profile)[None]
+    tr_consts = np.array(
+        [[profile.tr_B_Mk, profile.tr_E_C, profile.tr_E_J]],
+        dtype=np.float32,
+    )
+    args = [jnp.asarray(scores_t), jnp.asarray(tokens_t),
+            jnp.asarray(lengths_p), jnp.asarray(tr_rows),
+            jnp.asarray(tr_consts)]
+    three = np.asarray(_msv_pallas_padded(
+        *args, l_chunk=l_chunk, interpret=True, emit_k60=False))
+    one = np.asarray(_msv_pallas_padded(
+        *args, l_chunk=l_chunk, interpret=True, emit_k60=True))
+    np.testing.assert_array_equal(one, three)
