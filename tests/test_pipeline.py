@@ -253,3 +253,28 @@ def test_scan_many_bucketed_matches_per_profile(profile_dir):
     for p in profiles:
         want = sc.scan_bucketed(p, bucketed)
         np.testing.assert_allclose(stacked[p.name], want, atol=0, rtol=0)
+
+
+def test_stage_device_transpose_matches_host(profile_dir):
+    """Round 5: stage()'s on-device transpose+blank must produce the
+    exact token block the host-side blank_ragged_tail path built (the
+    mesh path still uses the host transpose, so both live)."""
+    import jax.numpy as jnp
+
+    from hmm_fasta_viterbi_tpu.ops import pallas_msv
+    from hmm_fasta_viterbi_tpu.pipeline import MSVScanner, _round_up
+
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, 20, size=(5, 77)).astype(np.int32)
+    lengths = np.array([77, 0, 31, 1, 77], dtype=np.int32)
+    sc = MSVScanner(backend="pallas", interpret=True)
+    staged = sc.stage(tokens, lengths)
+
+    b_pad = _round_up(5, 128)
+    l_pad = _round_up(77, sc.l_chunk)
+    tok_t = np.full((l_pad, b_pad), pallas_msv.PAD_TOKEN, dtype=np.int8)
+    tok_t[:77, :5] = tokens.T
+    lengths_p = np.zeros(b_pad, dtype=np.int32)
+    lengths_p[:5] = lengths
+    pallas_msv.blank_ragged_tail(tok_t, lengths_p)
+    np.testing.assert_array_equal(np.asarray(staged.tokens_i8_t), tok_t)
