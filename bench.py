@@ -219,6 +219,13 @@ def main() -> int:
     if args.platform != "cpu" and not os.environ.get("BENCH_SKIP_PROBE"):
         probe_err = device_probe_error()
         if probe_err:
+            # one retry: a probe timeout can be transient (tunnel blip,
+            # or host CPU contention delaying the subprocess's client
+            # init on this 1-CPU box) — a value-0 artifact is costly
+            print(f"# probe failed once ({probe_err}); retrying",
+                  file=sys.stderr)
+            probe_err = device_probe_error()
+        if probe_err:
             # emit a well-formed artifact line instead of hanging: value
             # 0 + errors marks "no measurement", not a perf regression
             print(json.dumps({
