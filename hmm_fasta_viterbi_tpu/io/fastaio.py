@@ -66,18 +66,23 @@ class FastaDatabase:
         pad_to: int | None = None,
         pad_multiple: int = 1,
         pad_token: int = 0,
+        dtype=np.int32,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Encode all valid records into a padded token batch.
 
-        Returns ``(tokens int32 [B, Lmax], lengths int32 [B])``. Padding
+        Returns ``(tokens dtype [B, Lmax], lengths int32 [B])``. Padding
         residues use ``pad_token`` (they are masked out by the scan — see
         ops.xla_scan / ops.pallas_msv; SURVEY.md §7 hard part (e)).
+        ``dtype`` defaults to int32 (the lax.scan fns' index dtype); the
+        staged streaming path requests int8 — the kernel layout is int8
+        anyway, and the int32 round-trip is 4x the memory traffic on the
+        producer thread (see io.loader.stream_fasta_prefetch).
         """
         lengths = self.lengths
         max_len = padded_width(
             int(lengths.max()) if len(lengths) else 0, pad_to, pad_multiple
         )
-        tokens = np.full((len(self.records), max_len), pad_token, dtype=np.int32)
+        tokens = np.full((len(self.records), max_len), pad_token, dtype=dtype)
         for i, rec in enumerate(self.records):
             tokens[i, : len(rec)] = encode_sequence(rec.sequence)
         return tokens, lengths

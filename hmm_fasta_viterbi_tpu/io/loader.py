@@ -156,8 +156,14 @@ def stream_fasta_prefetch(
                     item = batch
                 else:
                     t0 = _time.perf_counter()
+                    # staged consumers only ever re-stage token subsets
+                    # (survivor rescore), so encode straight to the
+                    # kernel's int8 — the int32 detour costs 4x the
+                    # producer-thread memory traffic, which on a 1-CPU
+                    # host also steals GIL time from the consumer loop
                     tokens, lengths = batch.encode(
-                        pad_multiple=encode_pad_multiple
+                        pad_multiple=encode_pad_multiple,
+                        dtype=np.int8 if stage_fn is not None else np.int32,
                     )
                     secs["encode"] += _time.perf_counter() - t0
                     if stage_fn is None:

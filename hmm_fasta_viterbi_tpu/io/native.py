@@ -289,16 +289,18 @@ class EncodedFastaBatch:
 
     def encode(
         self, pad_to: int | None = None, pad_multiple: int = 1,
-        pad_token: int = 0,
+        pad_token: int = 0, dtype=np.int32,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Same contract as FastaDatabase.encode (fastaio.py)."""
+        """Same contract as FastaDatabase.encode (fastaio.py). With
+        dtype=int8 the rows are straight memcpys of the reader's flat
+        int8 token stream — no widening pass at all."""
         from .fastaio import padded_width
 
         lengths = self.lengths
         max_len = padded_width(
             int(lengths.max()) if len(lengths) else 0, pad_to, pad_multiple
         )
-        tokens = np.full((len(self.headers), max_len), pad_token, dtype=np.int32)
+        tokens = np.full((len(self.headers), max_len), pad_token, dtype=dtype)
         # per-row slice copies: memcpy-bound, measured 13x FASTER than a
         # single vectorized fancy-index scatter (whose int64 index arrays
         # cost 24 B/residue of traffic vs the slices' 4)

@@ -180,6 +180,41 @@ def test_stream_fasta_prefetch_matches_serial(tmp_path, fasta_dir):
     gen.close()
 
 
+def test_stream_fasta_prefetch_staged_int8(fasta_dir):
+    """With a stage_fn the prefetch loader encodes tokens as int8 (the
+    kernel layout — the int32 detour was 4x the producer-thread memory
+    traffic); values must equal the int32 path's exactly, and the
+    staged object must round-trip through the real scanner.stage."""
+    from hmm_fasta_viterbi_tpu.pipeline import MSVScanner
+
+    path = fasta_dir / "fasta_like_example.fsa"
+    sc = MSVScanner(backend="pallas", interpret=True)
+    for prefer in ("native", "python"):
+        plain = list(loader.stream_fasta_prefetch(
+            path, 2, prefer=prefer, encode_pad_multiple=8
+        ))
+        staged_stream = list(loader.stream_fasta_prefetch(
+            path, 2, prefer=prefer, encode_pad_multiple=8,
+            stage_fn=sc.stage,
+        ))
+        assert len(staged_stream) == len(plain)
+        for (b, tok, lens, staged), (_, tok32, lens32) in zip(
+            staged_stream, plain
+        ):
+            assert tok.dtype == np.int8
+            assert tok32.dtype == np.int32
+            np.testing.assert_array_equal(tok.astype(np.int32), tok32)
+            np.testing.assert_array_equal(lens, lens32)
+            assert staged.num_sequences == len(b)
+            # survivor-rescore path: re-staging an int8 subset must
+            # produce the same device block as staging the int32 rows
+            sub8 = sc.stage(tok[:1], lens[:1])
+            sub32 = sc.stage(tok32[:1], lens32[:1])
+            np.testing.assert_array_equal(
+                np.asarray(sub8.tokens_i8_t), np.asarray(sub32.tokens_i8_t)
+            )
+
+
 def test_loader_prefer_modes(profile_dir, fasta_dir):
     a = loader.load_profile(profile_dir / "100.hmm", prefer="native")
     b = loader.load_profile(profile_dir / "100.hmm", prefer="python")
